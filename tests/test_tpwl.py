@@ -1,0 +1,193 @@
+"""TPWL model tests: point selection, jacobians, rollout vs a numpy oracle
+that mirrors the reference semantics (sofacontrol/tpwl/tpwl.py), and the
+offline pipeline (surrogate plant -> POD -> TPWL -> fidelity)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import scipy.linalg
+
+from soft_robot_control_tpu.core.packing import qv2x
+from soft_robot_control_tpu.models import tpwl as tpwl_mod
+from soft_robot_control_tpu.models.tpwl import TPWLModel, from_tpwl_dict, rollout_batch
+from soft_robot_control_tpu.models.tpwl_build import (build_tpwl_model, tpwl_config,
+                                                      to_tpwl_dict)
+from soft_robot_control_tpu.rom.pod import POD, compute_POD
+from soft_robot_control_tpu.sim.fem_surrogate import make_chain_robot, simulate
+from soft_robot_control_tpu.control.sequences import DiamondRobotSequences
+
+
+def _random_tpwl(P=6, r=4, m=2, seed=0, beta=None, tpwl_method="nn"):
+    rng = np.random.default_rng(seed)
+    n = 2 * r
+    A = rng.normal(size=(P, n, n)) * 0.5 - 1.5 * np.eye(n)
+    B = rng.normal(size=(P, n, m))
+    d = rng.normal(size=(P, n)) * 0.1
+    q = rng.normal(size=(P, r))
+    v = rng.normal(size=(P, r))
+    u = rng.normal(size=(P, m))
+    nf = 10
+    U, _ = np.linalg.qr(rng.normal(size=(nf, r)))
+    rom = POD({"U": U, "q_ref": rng.normal(size=nf), "v_ref": np.zeros(nf)})
+    return TPWLModel(q=q, v=v, u=u, A_c=A, B_c=B, d_c=d, rom=rom,
+                     dist_w_q=10.0, dist_w_v=1.0, beta=beta,
+                     discr_method="zoh", tpwl_method=tpwl_method)
+
+
+def _oracle_nearest(model, x):
+    n = x.shape[0] // 2
+    q, v = x[n:], x[:n]
+    qd = 10.0 * np.linalg.norm(np.asarray(model.q) - q, axis=1)
+    vd = 1.0 * np.linalg.norm(np.asarray(model.v) - v, axis=1)
+    return int(np.argmin(qd + vd))
+
+
+def test_nearest_point_matches_oracle():
+    model = _random_tpwl()
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        x = rng.normal(size=model.state_dim)
+        assert int(model.calc_nearest_point(jnp.array(x))) == _oracle_nearest(model, x)
+
+
+def test_weighting_factors_match_oracle():
+    model = _random_tpwl(beta=2.0, tpwl_method="weighting")
+    rng = np.random.default_rng(8)
+    x = rng.normal(size=model.state_dim)
+    w = np.asarray(model.calc_weighting_factors(jnp.array(x)))
+    # oracle (tpwl.py:170-191)
+    n = model.state_dim // 2
+    q, v = x[n:], x[:n]
+    dist = (10.0 * np.linalg.norm(np.asarray(model.q) - q, axis=1)
+            + 1.0 * np.linalg.norm(np.asarray(model.v) - v, axis=1))
+    m = dist.min()
+    w_o = np.exp(-2.0 * dist / m)
+    w_o = w_o / w_o.sum()
+    np.testing.assert_allclose(w, w_o, atol=1e-12)
+    # exact-hit case -> one-hot
+    x_hit = qv2x(np.asarray(model.q)[3], np.asarray(model.v)[3])
+    w = np.asarray(model.calc_weighting_factors(jnp.array(x_hit)))
+    exp = np.zeros(model.num_points)
+    exp[3] = 1.0
+    np.testing.assert_allclose(w, exp, atol=1e-12)
+
+
+def test_rollout_matches_numpy_oracle():
+    model = _random_tpwl().pre_discretize(0.02)
+    rng = np.random.default_rng(9)
+    x0 = rng.normal(size=model.state_dim)
+    u = rng.normal(size=(50, model.input_dim))
+
+    x_jax = np.asarray(tpwl_mod.rollout(model, jnp.array(x0), jnp.array(u), 0.02))
+
+    # numpy oracle with reference zoh + nn semantics
+    Ad = np.asarray(model.A_d)
+    Bd = np.asarray(model.B_d)
+    dd = np.asarray(model.d_d)
+    x = np.zeros((51, model.state_dim))
+    x[0] = x0
+    for i in range(50):
+        j = _oracle_nearest(model, x[i])
+        x[i + 1] = Ad[j] @ x[i] + Bd[j] @ u[i] + dd[j]
+    np.testing.assert_allclose(x_jax, x, atol=1e-8)
+
+
+def test_rollout_batch_vmaps():
+    model = _random_tpwl().pre_discretize(0.02)
+    rng = np.random.default_rng(10)
+    B, N = 16, 20
+    x0 = rng.normal(size=(B, model.state_dim))
+    u = rng.normal(size=(B, N, model.input_dim))
+    X = rollout_batch(model, jnp.array(x0), jnp.array(u), 0.02)
+    assert X.shape == (B, N + 1, model.state_dim)
+    # each row equals the single rollout
+    x_single = tpwl_mod.rollout(model, jnp.array(x0[3]), jnp.array(u[3]), 0.02)
+    np.testing.assert_allclose(np.asarray(X[3]), np.asarray(x_single), atol=1e-10)
+
+
+def test_get_jacobians_discretize_on_the_fly_vs_cache():
+    model = _random_tpwl()
+    pre = model.pre_discretize(0.02)
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=model.state_dim)
+    A1, B1, d1 = model.get_jacobians(jnp.array(x), dt=0.02)
+    A2, B2, d2 = pre.get_jacobians(jnp.array(x), dt=0.02)
+    np.testing.assert_allclose(np.asarray(A1), np.asarray(A2), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(B1), np.asarray(B2), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-10)
+
+
+def test_dict_roundtrip():
+    model = _random_tpwl()
+    d = to_tpwl_dict(model)
+    model2 = from_tpwl_dict(d, params={"dist_weights": {"q": 10.0, "v": 1.0}})
+    np.testing.assert_allclose(np.asarray(model2.A_c), np.asarray(model.A_c))
+    rng = np.random.default_rng(12)
+    x = rng.normal(size=model.state_dim)
+    assert int(model2.calc_nearest_point(jnp.array(x))) == int(
+        model.calc_nearest_point(jnp.array(x)))
+
+
+# ---------------------------------------------------------------------------
+# End-to-end offline pipeline on the FEM surrogate
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    plant = make_chain_robot(n_nodes=10, n_cables=4, seed=0)
+    seqs = DiamondRobotSequences(dt=0.02, t0=0.5)
+    seqs.umax = 3.0 * np.ones(4)
+    seqs.umin = np.zeros(4)
+    u_seq, _, t_seq = seqs.lhs_sequence(nbr_samples=12, t_step=0.3, seed=1)
+    u = np.asarray(u_seq).T  # (T, m)
+    x0 = plant.x_rest()
+    X = np.asarray(simulate(plant, x0, jnp.asarray(u), 0.02))
+
+    # POD from velocity snapshots
+    v_snaps = X[1:, :plant.n_nodes_dof] - 0.0
+    q_snaps = X[1:, plant.n_nodes_dof:]
+    snaps = np.concatenate([v_snaps, q_snaps - q_snaps[0]], axis=0)
+    _, U, r, _ = compute_POD(snaps.T, 1e-8)
+    rom = POD({"U": U, "q_ref": X[0, plant.n_nodes_dof:],
+               "v_ref": np.zeros(plant.n_nodes_dof)})
+    return plant, rom, X, u
+
+
+def test_offline_pipeline_builds_accurate_tpwl(pipeline):
+    """collect -> POD -> TPWL -> rollout fidelity vs the true plant.
+
+    The surrogate's semi-implicit Euler step equals the backward-Euler
+    discretization of its affine linearization, so with discr_method='be'
+    a dense TPWL dictionary must reproduce the plant essentially exactly;
+    a sparse dictionary must still be a good model. This mirrors the
+    reference's TPWL_rollout model-validation check
+    (examples/hardware/diamond.py:20-73).
+    """
+    plant, rom, X, u = pipeline
+    n = plant.n_nodes_dof
+    # output: position of last node
+    Hf = np.zeros((1, 2 * n))
+    Hf[0, 2 * n - 1] = 1.0
+    z_true = X @ Hf.T
+
+    def rel_mse(threshold):
+        cfg = tpwl_config(TPWL_threshold=threshold,
+                          TPWL_weighting_factors={"q": 10.0, "v": 1.0})
+        model = build_tpwl_model(plant, rom, X[:-1], u, config=cfg, Hf=Hf,
+                                 params={"dist_weights": {"q": 10.0, "v": 1.0}},
+                                 discr_method="be")
+        assert model.num_points >= 2
+        model = model.pre_discretize(0.02)
+        x0_r = rom.project_x(jnp.asarray(X[0]))
+        _, z = model.rollout(x0_r, jnp.asarray(u), 0.02)
+        z = np.asarray(z)
+        mse = np.mean((z[:-1, 0] - z_true[:-1, 0]) ** 2)
+        scale = np.mean((z_true[:, 0] - z_true[0, 0]) ** 2) + 1e-12
+        return mse / scale, model.num_points
+
+    dense_err, dense_P = rel_mse(0.2)
+    assert dense_err < 1e-6, f"dense TPWL inaccurate: rel mse {dense_err:.3g}"
+    sparse_err, sparse_P = rel_mse(3.0)
+    assert sparse_P < dense_P
+    assert sparse_err < 0.2, f"sparse TPWL inaccurate: rel mse {sparse_err:.3g}"
