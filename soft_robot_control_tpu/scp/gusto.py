@@ -1,0 +1,281 @@
+"""GuSTO — trust-region sequential convex programming.
+
+Capability parity with sofacontrol/scp/gusto.py, including the three
+documented modifications to vanilla GuSTO (gusto.py:386-415):
+1. if (delta, omega) were constant for two accepted solves but the QP cost
+   increased, shrink delta;
+2. no delta growth on good model accuracy;
+3. no omega decrease when state constraints are satisfied.
+
+TPU-first: trajectory linearization is one `vmap` over the horizon (instead
+of the reference's per-point Python loop wrapped in jax.jit,
+gusto.py:253-281); the LOCP is assembled and solved on device by the ADMM
+kernel; the outer loop is host-side Python because its iteration count is
+small and data-dependent (the batched MPC path uses the fixed-iteration
+variant in control/mpc.py instead).
+
+Default hyperparameters are identical to the reference (gusto.py:12-22).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from soft_robot_control_tpu.scp.locp import LOCP
+
+# Defaults (gusto.py:12-22)
+DELTA0 = 1e4
+OMEGA0 = 1.0
+RHO = 0.1
+BETA_FAIL = 0.5
+BETA_SUCC = 2.0
+EPSILON = 0.01
+GAMMA_FAIL = 5.0
+OMEGA_MAX = 1e10
+MAX_ITERS = 500
+CONVERGE = 0.1
+
+
+@dataclass
+class GuSTOParams:
+    delta0: float = DELTA0
+    omega0: float = OMEGA0
+    rho: float = RHO
+    beta_fail: float = BETA_FAIL
+    beta_succ: float = BETA_SUCC
+    gamma_fail: float = GAMMA_FAIL
+    omega_max: float = OMEGA_MAX
+    epsilon: float = EPSILON
+    convg_thresh: float = CONVERGE
+    max_gusto_iters: int = MAX_ITERS
+
+
+class GuSTO:
+    """Trust-region SCP solver over a TemplateModel-style adapter.
+
+    Constructor signature mirrors the reference (gusto.py:54-147): builds the
+    LOCP once and solves immediately for the given initial guess.
+    """
+
+    def __init__(self, model, N, dt, Qz, R, x0, u_init, x_init, z=None, u=None,
+                 Qzf=None, zf=None, U=None, X=None, Xf=None, dU=None,
+                 verbose=0, warm_start=True, **kwargs):
+        self.model = model
+        self.n_x = x0.shape[0]
+        self.n_u = R.shape[0]
+        self.n_z = Qz.shape[0]
+        self.dt = dt
+        self.N = N
+        self.Qz, self.R, self.Qzf = Qz, R, Qzf
+        self.U, self.X, self.Xf, self.dU = U, X, Xf, dU
+        self.verbose = verbose
+
+        p = GuSTOParams(
+            delta0=kwargs.pop("delta0", DELTA0),
+            omega0=kwargs.pop("omega0", OMEGA0),
+            rho=kwargs.pop("rho", RHO),
+            beta_fail=kwargs.pop("beta_fail", BETA_FAIL),
+            beta_succ=kwargs.pop("beta_succ", BETA_SUCC),
+            gamma_fail=kwargs.pop("gamma_fail", GAMMA_FAIL),
+            omega_max=kwargs.pop("omega_max", OMEGA_MAX),
+            epsilon=kwargs.pop("epsilon", EPSILON),
+            convg_thresh=kwargs.pop("convg_thresh", CONVERGE),
+            max_gusto_iters=MAX_ITERS,  # first solve may take more iterations
+        )
+        self.params = p
+        max_iters_later = kwargs.pop("max_gusto_iters", MAX_ITERS)
+
+        self.x_char = np.asarray(kwargs.pop("x_char", np.ones(self.n_x)), float)
+        self.x_scale = 1.0 / np.abs(self.x_char)
+        self.f_char = np.asarray(kwargs.pop("f_char", np.ones(self.n_x)), float)
+        self.f_scale = 1.0 / np.abs(self.f_char)
+        kwargs.pop("jit", None)
+
+        self.nonlinear_observer = bool(getattr(model, "nonlinear_observer", False))
+
+        self.locp = LOCP(N, np.asarray(model.H), Qz, R, Qzf=Qzf, U=U, X=X,
+                         Xf=Xf, dU=dU, verbose=(verbose == 2),
+                         warm_start=warm_start, x_char=self.x_char,
+                         nonlinear_observer=self.nonlinear_observer, **kwargs)
+
+        # vmapped trajectory linearizations (gusto.py:225-281, loop-free)
+        self._traj_dyn = jax.jit(jax.vmap(
+            lambda x, u_: model.get_discrete_dynamics(x, u_, dt)))
+        self._traj_cont = jax.jit(jax.vmap(
+            lambda x, u_: model.get_continuous_dynamics(x, u_)))
+        if self.nonlinear_observer:
+            self._traj_obs = jax.jit(jax.vmap(model.get_observer_jacobians))
+        else:
+            self._traj_obs = None
+
+        self.xopt = None
+        self.uopt = None
+        self.zopt = None
+        self.locp_solve_time = None
+        self.itr_count = 0
+
+        # First solve happens at construction, like the reference
+        self.solve(x0, u_init, x_init, z, zf, u)
+        self.params.max_gusto_iters = max_iters_later
+
+    # ------------------------------------------------------------------
+    def is_converged(self, x, u):
+        dx = (1.0 / self.n_x) * np.sum(
+            np.linalg.norm(self.x_scale * (x - self.x_k), axis=1))
+        dsol = (1.0 / self.N) * dx
+        return dsol, dsol <= self.params.convg_thresh
+
+    def is_in_trust_region(self, x, delta):
+        max_diff = np.max(np.max(np.abs(self.x_scale * (x - self.x_k)), axis=1))
+        if max_diff - delta > self.params.epsilon:
+            return max_diff, False
+        return 0.0, True
+
+    def state_constraints_violated(self, x, z_traj=None):
+        """Max 2-norm violation over the horizon (gusto.py:185-201). For
+        nonlinear observers the constraint acts on z = C_map(x)."""
+        if self.X is None:
+            return 0.0, True
+        pts = z_traj if z_traj is not None else x
+        viol = np.asarray(self.X.violation(jnp.asarray(pts)))
+        max_violation = float(np.max(viol))
+        return max_violation, max_violation <= self.params.epsilon
+
+    def compute_accuracy(self, x, u, J):
+        """Taylor-error model accuracy ratio rho_k (gusto.py:203-223),
+        vectorized over the horizon."""
+        f_new, _, _ = self._traj_cont(jnp.asarray(x[:-1]), jnp.asarray(u))
+        fk, Ak, Bk = self._traj_cont(jnp.asarray(self.x_k[:-1]),
+                                     jnp.asarray(self.u_k))
+        dx = jnp.asarray(x[:-1] - self.x_k[:-1])
+        du = jnp.asarray(u - self.u_k)
+        f_approx = fk + jnp.einsum("kij,kj->ki", Ak, dx) + \
+            jnp.einsum("kij,kj->ki", Bk, du)
+        fs = jnp.asarray(self.f_scale)
+        err = self.dt * jnp.sum(jnp.linalg.norm(fs * (f_new - f_approx), axis=1))
+        approx = self.dt * jnp.sum(jnp.linalg.norm(fs * f_approx, axis=1))
+        return float(err / (J + float(approx)))
+
+    # ------------------------------------------------------------------
+    def solve(self, x0, u_init, x_init, z=None, zf=None, u=None):
+        """SCP iteration loop; semantics follow gusto.py:283-488."""
+        t0 = time.time()
+        t_locp = 0.0
+        p = self.params
+        itr = 0
+        self.u_k = np.asarray(u_init, float)
+        self.x_k = np.asarray(x_init, float)
+
+        A_d, B_d, d_d = self._traj_dyn(jnp.asarray(self.x_k[:-1]),
+                                       jnp.asarray(self.u_k))
+        if self.nonlinear_observer:
+            H_d, c_d = self._traj_obs(jnp.asarray(self.x_k))
+        else:
+            H_d, c_d = None, None
+
+        new_solution = True
+        Jstar_prev = np.inf
+        delta_prev = np.inf
+        omega_prev = np.inf
+        converged = False
+        delta = p.delta0
+        omega = p.omega0
+
+        if self.verbose >= 1:
+            print("|   J   | TR_viol |  rho_k  |  X_viol |   x-x_k |  delta  |  omega |")
+
+        while itr <= p.max_gusto_iters and not converged and omega <= p.omega_max:
+            rho_k = -1.0
+            max_violation = -1.0
+            dsol = -1.0
+            delta_cur, omega_cur = delta, omega
+
+            self.locp.update(A_d, B_d, d_d, np.asarray(x0, float), self.x_k,
+                             delta, omega, z=z, zf=zf, u=u, Hd=H_d, cd=c_d,
+                             full=new_solution)
+            new_solution = False
+
+            Jstar, success, _ = self.locp.solve()
+            if not success:
+                print(f"Iteration {itr} of problem cannot be solved")
+                self.xopt = np.copy(self.x_k)
+                self.uopt = np.copy(self.u_k)
+                self.zopt = self._z_of(self.xopt)
+                self.locp_solve_time = t_locp
+                return
+            t_locp += self.locp.solve_time
+
+            x_next, u_next, _ = self.locp.get_solution()
+
+            e_tr, tr_satisfied = self.is_in_trust_region(x_next, delta)
+            if tr_satisfied:
+                rho_k = self.compute_accuracy(x_next, u_next, Jstar)
+                if rho_k > p.rho and itr != 1:
+                    delta = p.beta_fail * delta
+                else:
+                    # Modification 1 (gusto.py:386-394)
+                    if delta_prev == delta and omega_prev == omega and Jstar_prev <= Jstar:
+                        delta = p.beta_fail * delta
+                    delta_prev, Jstar_prev, omega_prev = delta, Jstar, omega
+
+                    if self.nonlinear_observer:
+                        z_traj = np.asarray(jax.vmap(self.model.dyn_sys.C_map)(
+                            jnp.asarray(x_next)))
+                        max_violation, X_satisfied = self.state_constraints_violated(
+                            x_next, z_traj=z_traj)
+                    else:
+                        max_violation, X_satisfied = self.state_constraints_violated(x_next)
+
+                    # Modification 3 (gusto.py:407-415): only grow omega
+                    if not X_satisfied:
+                        omega = p.gamma_fail * omega
+
+                    dsol, converged = self.is_converged(x_next, u_next)
+                    if not X_satisfied:
+                        converged = False
+                    new_solution = True
+            else:
+                omega = p.gamma_fail * omega
+
+            itr += 1
+
+            if self.verbose >= 1:
+                print(f"{Jstar:.2e}, {e_tr:.2e}, {rho_k:.2e}, "
+                      f"{max_violation:.2e}, {dsol:.2e}, {delta_cur:.2e}, "
+                      f"{omega_cur:.2e}, {itr}")
+
+            if new_solution:
+                self.x_k = x_next.copy()
+                self.u_k = u_next.copy()
+                if p.max_gusto_iters >= 1:
+                    A_d, B_d, d_d = self._traj_dyn(jnp.asarray(self.x_k[:-1]),
+                                                   jnp.asarray(self.u_k))
+                    if self.nonlinear_observer:
+                        H_d, c_d = self._traj_obs(jnp.asarray(self.x_k))
+
+        t_gusto = time.time() - t0
+        if omega > p.omega_max:
+            print("omega > omega_max, solution did not converge")
+        if self.verbose >= 1:
+            print(f"Solved in {itr} iterations/{t_gusto:.3f} s "
+                  f"({t_locp:.3f} s in LOCP)")
+
+        self.itr_count = itr
+        self.xopt = np.copy(self.x_k)
+        self.uopt = np.copy(self.u_k)
+        self.zopt = self._z_of(self.xopt)
+        self.locp_solve_time = t_locp
+
+    def _z_of(self, x):
+        if self.nonlinear_observer:
+            return np.asarray(jax.vmap(self.model.dyn_sys.C_map)(jnp.asarray(x)))
+        return np.asarray(x @ np.asarray(self.model.H).T)
+
+    def get_solution(self):
+        return self.xopt, self.uopt, self.zopt, self.locp_solve_time

@@ -1,0 +1,139 @@
+"""GuSTO SCP tests: the analytic Dubins-car regression case (mirroring
+sofacontrol/scp/example.py), constraint satisfaction, and LOCP QP assembly
+verified against a dense numpy reference construction."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from soft_robot_control_tpu.core.constraints import HyperRectangle
+from soft_robot_control_tpu.models.dubins import DubinsCar
+from soft_robot_control_tpu.scp.gusto import GuSTO
+from soft_robot_control_tpu.scp.locp import LOCP, LOCPSpec, LOCPParams
+from soft_robot_control_tpu.qp.admm import solve_qp_dense
+
+
+def test_dubins_gusto_reaches_target():
+    """Reproduces scp/example.py: reach zf=(4,5,0) under dU constraints."""
+    model = DubinsCar()
+    N, dt = 50, 0.1
+    Qz = np.zeros((3, 3))
+    R = np.eye(2)
+    Qzf = 100 * np.eye(3)
+    zf_des = np.array([4.0, 5.0, 0.0])
+    x0 = np.zeros(3)
+    u_init = np.zeros((N, 2))
+    x_init = np.asarray(model.rollout(x0, u_init, dt))
+    dU = HyperRectangle(np.array([0.1, 0.1]), np.array([-0.1, -0.1]))
+    x_char = np.array([1.0, 1.0, np.pi])
+
+    gusto = GuSTO(model, N, dt, Qz, R, x0, u_init, x_init, u=u_init,
+                  zf=zf_des, Qzf=Qzf, U=None, dU=dU, verbose=0,
+                  warm_start=True, x_char=x_char)
+    x, u, z, t_solve = gusto.get_solution()
+
+    # terminal state reaches the target region
+    assert np.linalg.norm(x[-1, :2] - zf_des[:2]) < 0.5, x[-1]
+    # dU constraints respected
+    du = np.diff(u, axis=0)
+    assert np.max(np.abs(du)) <= 0.1 + 1e-6
+    # dynamics feasibility of the SCP solution under its own linearization
+    # (defect must be small since converged)
+    x_roll = np.asarray(model.rollout(x0, u, dt))
+    assert np.linalg.norm(x_roll[-1, :2] - x[-1, :2]) < 0.3
+
+
+def test_dubins_gusto_with_control_constraints():
+    model = DubinsCar()
+    N, dt = 30, 0.1
+    Qz = np.diag([1.0, 1.0, 0.0])
+    R = 0.1 * np.eye(2)
+    x0 = np.zeros(3)
+    U = HyperRectangle(np.array([1.0, 1.0]), np.array([0.0, -1.0]))
+    z_tgt = np.tile(np.array([1.0, 1.0, 0.0]), (N + 1, 1))
+    u_init = np.zeros((N, 2))
+    x_init = np.asarray(model.rollout(x0, u_init, dt))
+    gusto = GuSTO(model, N, dt, Qz, R, x0, u_init, x_init, z=z_tgt,
+                  U=U, verbose=0, warm_start=True)
+    x, u, z, _ = gusto.get_solution()
+    assert np.all(u[:, 0] >= -1e-7) and np.all(u[:, 0] <= 1.0 + 1e-7)
+    assert np.all(np.abs(u[:, 1]) <= 1.0 + 1e-7)
+    # moves toward (1, 1)
+    assert np.linalg.norm(x[-1, :2] - [1, 1]) < np.linalg.norm(x0[:2] - [1, 1])
+
+
+def test_locp_assembly_matches_dense_reference():
+    """Assemble a small LOCP and check (P, q, A, l, u) against a direct
+    numpy construction of the same objective/constraints."""
+    rng = np.random.default_rng(0)
+    N, nx, nu, nz = 3, 4, 2, 2
+    H = rng.normal(size=(nz, nx))
+    Qz = np.diag([2.0, 1.0])
+    R = np.diag([0.5, 0.3])
+    U = HyperRectangle(np.ones(nu), -np.ones(nu))
+    spec = LOCPSpec(N, H, Qz, R, U=U, x_char=np.array([1.0, 2.0, 0.5, 1.0]))
+
+    Ad = rng.normal(size=(N, nx, nx))
+    Bd = rng.normal(size=(N, nx, nu))
+    dd = rng.normal(size=(N, nx))
+    x0 = rng.normal(size=nx)
+    xk = rng.normal(size=(N + 1, nx))
+    z = rng.normal(size=(N + 1, nz))
+    u_des = rng.normal(size=(N, nu))
+    delta, omega = 1.7, 3.1
+
+    params = LOCPParams(Ad=jnp.array(Ad), Bd=jnp.array(Bd), dd=jnp.array(dd),
+                        x0=jnp.array(x0), xk=jnp.array(xk),
+                        delta=jnp.array(delta), omega=jnp.array(omega),
+                        z=jnp.array(z), zf=jnp.zeros(nz),
+                        u_des=jnp.array(u_des),
+                        Hd=jnp.zeros((N + 1, nz, nx)),
+                        cd=jnp.zeros((N + 1, nz)))
+    P, q, A, l, u, const = spec.assemble(params)
+    sol = solve_qp_dense(P, q, A, l, u)
+    assert bool(sol.solved)
+    w = np.asarray(sol.x)
+    x_sol, u_sol, s_sol = spec.split(w)
+
+    # objective value must equal the direct evaluation
+    J_direct = 0.0
+    for k in range(N):
+        J_direct += (u_sol[k] - u_des[k]) @ R @ (u_sol[k] - u_des[k])
+    for k in range(N + 1):
+        r = H @ x_sol[k] - z[k]
+        J_direct += r @ Qz @ r
+    J_direct += omega * np.sum(s_sol)
+    J_qp = 0.5 * w @ np.asarray(P) @ w + np.asarray(q) @ w + float(const)
+    np.testing.assert_allclose(J_qp, J_direct, rtol=1e-8, atol=1e-8)
+
+    # constraints hold: dynamics, x0, trust region, control box
+    np.testing.assert_allclose(x_sol[0], x0, atol=1e-6)
+    for k in range(N):
+        np.testing.assert_allclose(
+            x_sol[k + 1], Ad[k] @ x_sol[k] + Bd[k] @ u_sol[k] + dd[k], atol=1e-6)
+    xs = 1.0 / np.abs(np.array([1.0, 2.0, 0.5, 1.0]))
+    for k in range(N + 1):
+        assert np.max(np.abs(xs * (x_sol[k] - xk[k]))) <= delta + s_sol[k] + 1e-6
+    assert np.all(np.abs(u_sol) <= 1.0 + 1e-7)
+
+
+def test_locp_warm_start_reuse():
+    """Second solve with slightly different parameters should be correct."""
+    rng = np.random.default_rng(1)
+    N, nx, nu, nz = 4, 3, 2, 3
+    H = np.eye(3)
+    locp = LOCP(N, H, np.eye(nz), np.eye(nu))
+    Ad = np.tile(np.eye(nx) * 0.9, (N, 1, 1))
+    Bd = np.tile(rng.normal(size=(nx, nu)), (N, 1, 1))
+    dd = np.zeros((N, nx))
+    x0 = np.ones(nx)
+    xk = np.tile(x0, (N + 1, 1))
+    locp.update(Ad, Bd, dd, x0, xk, 10.0, 1.0)
+    J1, ok1, _ = locp.solve()
+    assert ok1
+    x1, u1, _ = locp.get_solution()
+    locp.update(Ad, Bd, dd, x0 * 1.01, xk, 10.0, 1.0)
+    J2, ok2, _ = locp.solve()
+    assert ok2
+    x2, u2, _ = locp.get_solution()
+    np.testing.assert_allclose(x2[0], x0 * 1.01, atol=1e-6)
