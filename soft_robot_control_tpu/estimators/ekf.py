@@ -65,8 +65,17 @@ class DiscreteEKFObserver:
         self.V = jnp.eye(m) if V is None else jnp.asarray(V)
         Sigma0 = jnp.eye(n) if Sigma0 is None else jnp.asarray(Sigma0)
         self.state = EKFState(dyn_sys.rom.project_x(dyn_sys.rom.x_ref), Sigma0)
-        self._step = jax.jit(
-            lambda s, u, y, dt: ekf_update(self.dyn_sys, s, u, y, dt, self.W, self.V))
+        # dt stays a Python float (static) so the model's pre-discretization
+        # cache check (a trace-time branch) works; jits are cached per dt.
+        self._steps = {}
+
+    def _step(self, state, u, y, dt):
+        dt = float(dt)
+        if dt not in self._steps:
+            self._steps[dt] = jax.jit(
+                lambda s, u_, y_: ekf_update(self.dyn_sys, s, u_, y_, dt,
+                                             self.W, self.V))
+        return self._steps[dt](state, u, y)
 
     @property
     def x(self):
@@ -83,8 +92,7 @@ class DiscreteEKFObserver:
                               self.state.Sigma)
 
     def update(self, u, y, dt, **kwargs):
-        self.state = self._step(self.state, jnp.asarray(u), jnp.asarray(y),
-                                jnp.asarray(dt))
+        self.state = self._step(self.state, jnp.asarray(u), jnp.asarray(y), dt)
         return self.state.x
 
     def get_meas_dim(self):

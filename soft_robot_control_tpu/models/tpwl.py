@@ -279,8 +279,10 @@ def _dense(M):
 # Pure jitted rollout kernels
 
 
-@partial(jax.jit, static_argnames=("use_prediscretized",))
-def _rollout_impl(model: TPWLModel, x0, u, dt, use_prediscretized: bool):
+@partial(jax.jit, static_argnames=("dt", "use_prediscretized"))
+def _rollout_impl(model: TPWLModel, x0, u, dt: float, use_prediscretized: bool):
+    # dt is static (a Python float): the model's pre-discretization cache
+    # check is a trace-time branch, and recompiles per distinct dt are cheap.
     def step(x, u_t):
         if use_prediscretized:
             i = model.calc_nearest_point(x)
@@ -302,7 +304,7 @@ def rollout(model: TPWLModel, x0, u, dt):
     use_cache = (model.pre_discretized_dt is not None
                  and model.tpwl_method == "nn"
                  and float(dt) == model.pre_discretized_dt)
-    return _rollout_impl(model, x0, u, jnp.asarray(dt, x0.dtype), use_cache)
+    return _rollout_impl(model, x0, u, float(dt), use_cache)
 
 
 def rollout_batch(model: TPWLModel, x0, u, dt):
@@ -314,8 +316,7 @@ def rollout_batch(model: TPWLModel, x0, u, dt):
     use_cache = (model.pre_discretized_dt is not None
                  and model.tpwl_method == "nn"
                  and float(dt) == model.pre_discretized_dt)
-    fn = jax.vmap(lambda a, b: _rollout_impl(model, a, b, jnp.asarray(dt, x0.dtype),
-                                             use_cache))
+    fn = jax.vmap(lambda a, b: _rollout_impl(model, a, b, float(dt), use_cache))
     return fn(x0, u)
 
 
