@@ -1,0 +1,95 @@
+"""Benchmark entry — runs on one real TPU chip (float32).
+
+Primary metric (BASELINE.json): GuSTO SCP solve time per MPC step at Diamond
+scale (4 cables, 6-dim output, ~40-dim reduced state, N=5 horizon), on-device
+ADMM QP — north star < 2 ms. Secondary: 1024-way vmapped TPWL rollout
+throughput and batched closed-loop MPC+EKF steps/sec.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+"""
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def timeit(fn, *args, warmup=2, iters=10):
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    from soft_robot_control_tpu.control.batch_mpc import BatchMPC
+    from soft_robot_control_tpu.models.tpwl import rollout_batch
+    from soft_robot_control_tpu.tasks.demo import demo_targets, make_demo_tpwl
+
+    dtype = jnp.float32
+    # Diamond scale: r=21 -> n_x=42, m=4, n_z=6 (SURVEY.md §6 problem sizes)
+    model = make_demo_tpwl(r=21, P=64, m=4, nz=6, nf=64, dtype=np.float32)
+    dt = 0.02
+    N, N_replan = 5, 2
+
+    mpc = BatchMPC(model, 100.0 * np.eye(6), 1e-3 * np.eye(4), N=N, dt=dt,
+                   N_replan=N_replan, qp_iters=50, scp_iters=1, dtype=dtype,
+                   W=1e-2 * np.eye(model.state_dim),
+                   V=1e-4 * np.eye(model.C.shape[0]))
+
+    # ---- 1. MPC step latency: one window = replan (linearize + assemble +
+    # ADMM solve) + N_replan EKF/feedback/plant ticks
+    run1 = jax.jit(mpc.build(1))
+    zt = demo_targets(model, 1, N_replan, N, dt, batch=1)[0]
+    x0 = jnp.zeros(model.state_dim, dtype)
+    key = jax.random.PRNGKey(0)
+    t_step = timeit(lambda: run1(x0, x0, jnp.asarray(zt, dtype), key),
+                    warmup=3, iters=20)
+    mpc_ms = 1e3 * t_step
+
+    # ---- 2. 1024-way vmapped TPWL rollouts (100 steps each)
+    model_d = jax.tree_util.tree_map(
+        lambda a: a.astype(dtype) if hasattr(a, "astype") else a,
+        model).pre_discretize(dt)
+    B, T = 1024, 100
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(0.1 * rng.normal(size=(B, model.state_dim)), dtype)
+    us = jnp.asarray(np.abs(rng.normal(size=(B, T, model.input_dim))), dtype)
+    roll = jax.jit(lambda a, b: rollout_batch(model_d, a, b, dt))
+    t_roll = timeit(roll, x0s, us, warmup=2, iters=10)
+    rollouts_per_sec = B / t_roll
+
+    # ---- 3. batched closed-loop MPC+EKF throughput (1024 loops, 4 windows)
+    n_win = 4
+    runB = mpc.build(n_win)
+    ztB = demo_targets(model, n_win, N_replan, N, dt, batch=B)
+    x0B = jnp.zeros((B, model.state_dim), dtype)
+    keysB = jax.random.split(jax.random.PRNGKey(1), B)
+    fB = jax.jit(jax.vmap(runB))
+    t_batch = timeit(lambda: fB(x0B, x0B, jnp.asarray(ztB, dtype), keysB),
+                     warmup=2, iters=5)
+    batch_mpc_steps_per_sec = B * n_win / t_batch
+
+    result = {
+        "metric": "gusto_mpc_step_ms_diamond",
+        "value": round(mpc_ms, 4),
+        "unit": "ms",
+        # north star: < 2 ms per MPC step (BASELINE.md); >1 means target met
+        "vs_baseline": round(2.0 / mpc_ms, 3),
+        "extra": {
+            "tpwl_rollouts_per_sec_1024way": round(rollouts_per_sec, 1),
+            "batched_mpc_windows_per_sec_1024way": round(batch_mpc_steps_per_sec, 1),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,233 @@
+"""Fully-jitted batched closed-loop MPC + EKF — the flagship TPU path.
+
+BASELINE config 5: run B independent closed loops (ROM-as-plant + EKF +
+SCP MPC with the on-device QP) entirely inside one jitted scan, vmapped over
+a batch of tracking targets / initial conditions, shardable over a device
+mesh (see parallel/mesh.py).
+
+Semantics correspond to the reference's real-time MPC configuration
+(max_gusto_iters=0: exactly one LOCP solve per MPC query,
+examples/hardware/diamond_SSM.py:361; plan feedback with per-TPWL-point DARE
+gains, tpwl/controllers.py:239-246,326-333), restructured for the compiler:
+
+- time is an outer scan over replanning windows and an inner scan over
+  controller ticks, so replanning happens unconditionally at window starts
+  (no data-dependent control flow);
+- the QP is solved with a fixed-iteration warm-started ADMM (no adaptive
+  rho refactorization — under vmap both cond branches would execute);
+- the EKF is the functional pytree filter from estimators/ekf.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from soft_robot_control_tpu.estimators.ekf import EKFState, ekf_update
+from soft_robot_control_tpu.lqr.riccati import dare
+from soft_robot_control_tpu.qp.admm import _ruiz_equilibrate, OSQP_RHO_EQ_SCALE
+from soft_robot_control_tpu.scp.locp import LOCPParams, LOCPSpec
+
+
+def admm_fixed(P, q, A, l, u, w0, y0, rho_vec, iters: int, sigma=1e-6,
+               alpha=1.6):
+    """Warm-started fixed-iteration ADMM (OSQP update rule, no termination
+    checks, no scaling — the LOCP is pre-scaled by x_char)."""
+    n = P.shape[0]
+    K = P + sigma * jnp.eye(n, dtype=P.dtype) + (A.T * rho_vec[None, :]) @ A
+    chol = jnp.linalg.cholesky(K)
+    z0 = jnp.clip(A @ w0, l, u)
+
+    def body(i, carry):
+        w, z, y = carry
+        rhs = sigma * w - q + A.T @ (rho_vec * z - y)
+        w_t = jax.scipy.linalg.cho_solve((chol, True), rhs)
+        z_t = A @ w_t
+        w_new = alpha * w_t + (1 - alpha) * w
+        z_rel = alpha * z_t + (1 - alpha) * z
+        z_new = jnp.clip(z_rel + y / rho_vec, l, u)
+        y_new = y + rho_vec * (z_rel - z_new)
+        return w_new, z_new, y_new
+
+    w, z, y = jax.lax.fori_loop(0, iters, body, (w0, z0, y0))
+    return w, y
+
+
+class BatchMPC:
+    """Factory for the jitted batched closed loop on a TPWL model."""
+
+    def __init__(self, model, Qz, R, N: int, dt: float, N_replan: int = 1,
+                 U=None, dU=None, x_char=None, rho: float = 0.1,
+                 qp_iters: int = 100, scp_iters: int = 1,
+                 W=None, V=None, Qk=None, Rk=None,
+                 delta0: float = 1e4, omega0: float = 1.0,
+                 dtype=jnp.float32):
+        """
+        model: TPWLModel with output + measurement models set, will be
+               pre-discretized at dt.
+        Qz, R: MPC cost. Qk, Rk: feedback-gain cost (defaults H'QzH, R).
+        W, V: EKF covariances.
+        """
+        self.dt = float(dt)
+        self.N = int(N)
+        self.N_replan = int(N_replan)
+        model = model.pre_discretize(self.dt)
+        # cast the model once to the compute dtype
+        self.model = jax.tree_util.tree_map(
+            lambda a: a.astype(dtype) if hasattr(a, "astype") else a, model)
+        m = self.model
+        self.n_x, self.n_u, self.n_z = m.state_dim, m.input_dim, m.H.shape[0]
+        self.n_y = m.C.shape[0]
+        self.dtype = dtype
+
+        Qz = jnp.asarray(Qz, dtype)
+        R = jnp.asarray(R, dtype)
+        self.spec = LOCPSpec(self.N, np.asarray(m.H), np.asarray(Qz),
+                             np.asarray(R), U=U, dU=dU, x_char=x_char,
+                             dtype=dtype)
+        # per-constraint rho (equalities get the OSQP 1e3 boost): row layout
+        # of the spec is static, so build the vector once
+        n_con = self.spec.n_con
+        rho_vec = np.full(n_con, rho)
+        nx, N_ = self.spec.n_x, self.spec.N
+        rho_vec[self.spec.r_init:self.spec.r_init + nx] *= OSQP_RHO_EQ_SCALE
+        rho_vec[self.spec.r_dyn:self.spec.r_dyn + N_ * nx] *= OSQP_RHO_EQ_SCALE
+        self.rho_vec = jnp.asarray(rho_vec, dtype)
+        self.qp_iters = int(qp_iters)
+        self.scp_iters = int(scp_iters)
+        self.delta0 = delta0
+        self.omega0 = omega0
+
+        # EKF covariances
+        self.W = jnp.asarray(W if W is not None else 100.0 * np.eye(self.n_x),
+                             dtype)
+        self.V = jnp.asarray(V if V is not None else np.eye(self.n_y), dtype)
+
+        # per-TPWL-point DARE feedback gains (tpwl/controllers.py:239-246)
+        Qk = jnp.asarray(Qk, dtype) if Qk is not None else m.H.T @ Qz @ m.H
+        Rk = jnp.asarray(Rk, dtype) if Rk is not None else R
+        K, _ = jax.vmap(lambda a, b: dare(a, b, Qk, Rk))(m.A_d, m.B_d)
+        self.K_pts = K.astype(dtype)
+
+        self._run = None
+
+    # ------------------------------------------------------------------
+    def _mpc_query(self, x0, x_plan_prev, u_plan_prev, z_win, warm):
+        """One MPC query: scp_iters LOCP solves linearized along the current
+        plan (scp_iters=1 == the reference's max_gusto_iters=0 real-time
+        mode). Returns (x_plan, u_plan, warm)."""
+        m = self.model
+        spec = self.spec
+
+        def scp_iter(carry, _):
+            x_k, u_k, (w0, y0) = carry
+            Ad, Bd, dd = jax.vmap(
+                lambda x: (m.A_d[m.calc_nearest_point(x)],
+                           m.B_d[m.calc_nearest_point(x)],
+                           m.d_d[m.calc_nearest_point(x)]))(x_k[:-1])
+            params = LOCPParams(
+                Ad=Ad, Bd=Bd, dd=dd, x0=x0, xk=x_k,
+                delta=jnp.asarray(self.delta0, self.dtype),
+                omega=jnp.asarray(self.omega0, self.dtype),
+                z=z_win, zf=jnp.zeros(self.n_z, self.dtype),
+                u_des=jnp.zeros((self.N, self.n_u), self.dtype),
+                Hd=jnp.zeros((self.N + 1, self.n_z, self.n_x), self.dtype),
+                cd=jnp.zeros((self.N + 1, self.n_z), self.dtype))
+            P, q, A, l, u, _ = spec.assemble(params)
+            w, y = admm_fixed(P, q, A, l, u, w0, y0, self.rho_vec,
+                              self.qp_iters)
+            x_new = w[spec.off_x:spec.off_u].reshape(self.N + 1, self.n_x)
+            u_new = w[spec.off_u:spec.off_u + self.N * self.n_u].reshape(
+                self.N, self.n_u)
+            return (x_new, u_new, (w, y)), None
+
+        (x_plan, u_plan, warm), _ = jax.lax.scan(
+            scp_iter, (x_plan_prev, u_plan_prev, warm), None,
+            length=self.scp_iters)
+        return x_plan, u_plan, warm
+
+    # ------------------------------------------------------------------
+    def build(self, n_windows: int, noise_std: float = 0.0):
+        """Build the jitted single-trajectory closed loop:
+
+            run(x_plant0, ekf0, z_target (n_windows*N_replan + N + 1, n_z),
+                key) -> dict of logs
+
+        vmap/shard over leading batch axes of the arguments.
+        """
+        m = self.model
+        N, N_rep = self.N, self.N_replan
+        dt = self.dt
+
+        def plant_step(x, u):
+            i = m.calc_nearest_point(x)
+            return m.A_d[i] @ x + m.B_d[i] @ u + m.d_d[i]
+
+        def tick(carry, k):
+            x_p, ekf, x_plan, u_plan, key = carry
+            # feedback around the plan at in-window step k
+            x_bar = x_plan[k]
+            u_bar = u_plan[k]
+            i_near = m.calc_nearest_point(x_bar)
+            u = u_bar + self.K_pts[i_near] @ (ekf.x - x_bar)
+            # plant step + measurement
+            x_next = plant_step(x_p, u)
+            key, sub = jax.random.split(key)
+            y = m.C @ x_next + m.y_ref
+            if noise_std > 0:
+                y = y + noise_std * jax.random.normal(sub, (self.n_y,),
+                                                      dtype=self.dtype)
+            ekf_next = ekf_update(m, ekf, u, y, dt, self.W, self.V)
+            z = m.H @ x_next + m.z_ref
+            return (x_next, ekf_next, x_plan, u_plan, key), (z, u)
+
+        def window(carry, z_win):
+            x_p, ekf, x_plan, u_plan, warm, key = carry
+            # replan from the current belief (mpc=True semantics)
+            x_plan, u_plan, warm = self._mpc_query(ekf.x, x_plan, u_plan,
+                                                   z_win, warm)
+            (x_p, ekf, _, _, key), (zs, us) = jax.lax.scan(
+                tick, (x_p, ekf, x_plan, u_plan, key), jnp.arange(N_rep))
+            return (x_p, ekf, x_plan, u_plan, warm, key), (zs, us)
+
+        n_var, n_con = self.spec.n_var, self.spec.n_con
+
+        def run(x_plant0, ekf_x0, z_target, key):
+            """z_target: (n_windows, N+1, n_z) pre-windowed targets."""
+            ekf0 = EKFState(ekf_x0, jnp.eye(self.n_x, dtype=self.dtype))
+            x_plan0 = jnp.tile(ekf_x0[None], (N + 1, 1))
+            u_plan0 = jnp.zeros((N, self.n_u), self.dtype)
+            warm0 = (jnp.zeros(n_var, self.dtype), jnp.zeros(n_con, self.dtype))
+            carry0 = (x_plant0, ekf0, x_plan0, u_plan0, warm0, key)
+            _, (zs, us) = jax.lax.scan(window, carry0, z_target)
+            return {"z": zs.reshape(-1, self.n_z),
+                    "u": us.reshape(-1, self.n_u)}
+
+        self._run = run
+        return run
+
+    def run_batch(self, x_plant0, ekf_x0, z_target, keys):
+        """vmapped batched closed loop.
+
+        x_plant0 (B, n_x); ekf_x0 (B, n_x); z_target (B, n_windows, N+1, n_z);
+        keys (B, 2) PRNG keys. Returns logs with leading batch axis.
+        """
+        if self._run is None:
+            raise RuntimeError("call build() first")
+        return jax.jit(jax.vmap(self._run))(x_plant0, ekf_x0, z_target, keys)
+
+
+def window_targets(z_traj, n_windows: int, N_replan: int, N: int):
+    """Slice a long target trajectory (T, n_z) into per-window solver targets
+    (n_windows, N+1, n_z): window w starts at w*N_replan."""
+    z_traj = np.asarray(z_traj)
+    out = np.zeros((n_windows, N + 1, z_traj.shape[1]), dtype=z_traj.dtype)
+    T = z_traj.shape[0]
+    for w in range(n_windows):
+        idx = np.clip(np.arange(w * N_replan, w * N_replan + N + 1), 0, T - 1)
+        out[w] = z_traj[idx]
+    return out

@@ -1,0 +1,129 @@
+"""Multi-chip sharding: device meshes for batched rollouts and MPC.
+
+The reference has no distributed compute (its only IPC is the ROS solver
+service, SURVEY.md §2.6). The TPU-native scaling axes here are:
+
+- 'dp' (data parallel): independent closed loops / rollouts across targets
+  and initial conditions — pure batch sharding, no communication;
+- 'mp' (model parallel): the TPWL linearization-point dictionary is sharded
+  across chips; nearest-point selection becomes a *distributed argmin +
+  owner-gather* implemented with psum/pmin collectives inside shard_map.
+  This matters when the dictionary is large (hundreds of (2r)^2 matrices
+  dominate HBM) — each chip holds P/mp points and only the selected
+  (A, B, d) triple crosses ICI.
+
+Everything compiles on a host-platform mesh (xla_force_host_platform_
+device_count) for testing, and identically on real TPU meshes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp: int, mp: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if dp * mp > len(devices):
+        raise ValueError(f"need {dp * mp} devices, have {len(devices)}")
+    arr = np.asarray(devices[:dp * mp]).reshape(dp, mp)
+    return Mesh(arr, ("dp", "mp"))
+
+
+def _pad_points(model, mp: int):
+    """Pad the TPWL dictionary so the point axis divides mp. Padded points
+    replicate the last real point but with +inf distance sentinels via a
+    validity mask."""
+    Pn = model.num_points
+    pad = (-Pn) % mp
+    if pad == 0:
+        return model, jnp.ones(Pn, dtype=bool)
+    def padlast(a):
+        return jnp.concatenate([a, jnp.repeat(a[-1:], pad, axis=0)], axis=0)
+    m = model._replace(q=padlast(model.q), v=padlast(model.v),
+                       u=padlast(model.u), A_c=padlast(model.A_c),
+                       B_c=padlast(model.B_c), d_c=padlast(model.d_c),
+                       A_d=None if model.A_d is None else padlast(model.A_d),
+                       B_d=None if model.B_d is None else padlast(model.B_d),
+                       d_d=None if model.d_d is None else padlast(model.d_d))
+    valid = jnp.concatenate([jnp.ones(Pn, bool), jnp.zeros(pad, bool)])
+    return m, valid
+
+
+def shard_tpwl_gather(q_shard, v_shard, valid_shard, Ad_shard, Bd_shard,
+                      dd_shard, x, dist_w_q, dist_w_v, axis_name="mp"):
+    """Distributed nearest-point jacobian fetch, called inside shard_map.
+
+    Each chip computes distances to its local dictionary shard, the global
+    minimum is found with a pmin, and the owning chip contributes its
+    (A, B, d) triple through a psum (zeros elsewhere) — one scalar pmin and
+    one matrix psum over ICI per fetch.
+    """
+    n = x.shape[0] // 2
+    q, v = x[n:], x[:n]
+    dist = (dist_w_q * jnp.linalg.norm(q_shard - q, axis=1)
+            + dist_w_v * jnp.linalg.norm(v_shard - v, axis=1))
+    dist = jnp.where(valid_shard, dist, jnp.inf)
+    local_idx = jnp.argmin(dist)
+    local_min = dist[local_idx]
+    global_min = jax.lax.pmin(local_min, axis_name)
+    # exactly one owner contributes (ties broken by lowest shard index)
+    is_owner_val = (local_min == global_min)
+    my_rank = jax.lax.axis_index(axis_name)
+    owner_rank = jax.lax.pmin(jnp.where(is_owner_val, my_rank, jnp.iinfo(jnp.int32).max),
+                              axis_name)
+    is_owner = (my_rank == owner_rank)
+    w = jnp.where(is_owner, 1.0, 0.0).astype(Ad_shard.dtype)
+    A = jax.lax.psum(w * Ad_shard[local_idx], axis_name)
+    B = jax.lax.psum(w * Bd_shard[local_idx], axis_name)
+    d = jax.lax.psum(w * dd_shard[local_idx], axis_name)
+    return A, B, d
+
+
+def sharded_rollout_batch(model, x0, u, dt, mesh: Mesh):
+    """Batched TPWL rollouts with batch on 'dp' and the point dictionary on
+    'mp'. x0: (B, n_x); u: (B, N, n_u). B must divide dp."""
+    model = model if model.pre_discretized_dt == float(dt) else model.pre_discretize(dt)
+    mp = mesh.shape["mp"]
+    model_p, valid = _pad_points(model, mp)
+    wq, wv = model_p.dist_w_q, model_p.dist_w_v
+
+    def local_fn(q_s, v_s, valid_s, Ad_s, Bd_s, dd_s, x0_s, u_s):
+        def one(x0_i, u_i):
+            def step(x, u_t):
+                A, B, d = shard_tpwl_gather(q_s, v_s, valid_s, Ad_s, Bd_s,
+                                            dd_s, x, wq, wv)
+                x1 = A @ x + B @ u_t + d
+                return x1, x1
+
+            _, xs = jax.lax.scan(step, x0_i, u_i)
+            return jnp.concatenate((x0_i[None], xs), axis=0)
+
+        return jax.vmap(one)(x0_s, u_s)
+
+    fn = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P("mp"), P("mp"), P("mp"), P("mp"), P("mp"), P("mp"),
+                  P("dp"), P("dp")),
+        out_specs=P("dp"))
+    return fn(model_p.q, model_p.v, valid, model_p.A_d, model_p.B_d,
+              model_p.d_d, x0, u)
+
+
+def replicate(tree, mesh: Mesh):
+    """Place a pytree fully replicated on the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_batch(tree, mesh: Mesh, axis: str = "dp"):
+    """Shard the leading axis of every leaf over `axis`."""
+    def put(a):
+        spec = P(axis, *([None] * (a.ndim - 1)))
+        return jax.device_put(a, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, tree)

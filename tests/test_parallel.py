@@ -1,0 +1,77 @@
+"""Multi-chip sharding tests on the 8-device host-platform mesh: sharded
+rollouts must equal single-device rollouts bit-for-bit (same algorithm,
+distributed argmin + owner psum-gather), and the batched MPC must run
+sharded over 'dp'."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from soft_robot_control_tpu.control.batch_mpc import BatchMPC, window_targets
+from soft_robot_control_tpu.models.tpwl import rollout_batch
+from soft_robot_control_tpu.parallel.mesh import (make_mesh, shard_batch,
+                                                  sharded_rollout_batch)
+
+from helpers import chain_pipeline
+
+
+@pytest.fixture(scope="module")
+def setup():
+    plant, rom, model, Hf, Cf, X, _ = chain_pipeline()
+    return rom, model.pre_discretize(0.02), Hf, X
+
+
+def test_sharded_rollout_matches_local(setup):
+    rom, model, Hf, X = setup
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh(dp=4, mp=2)
+    rng = np.random.default_rng(0)
+    B, N = 8, 25
+    x0 = np.asarray(rom.project_x(jnp.asarray(X[0])))
+    x0s = x0 + 0.05 * rng.normal(size=(B, model.state_dim))
+    us = np.abs(rng.normal(size=(B, N, model.input_dim)))
+
+    X_local = np.asarray(rollout_batch(model, jnp.asarray(x0s), jnp.asarray(us), 0.02))
+    X_shard = np.asarray(sharded_rollout_batch(model, jnp.asarray(x0s),
+                                               jnp.asarray(us), 0.02, mesh))
+    np.testing.assert_allclose(X_shard, X_local, atol=1e-12)
+
+
+def test_sharded_rollout_point_padding(setup):
+    """mp that does not divide the point count exercises the padding path."""
+    rom, model, Hf, X = setup
+    mesh = make_mesh(dp=2, mp=4)
+    rng = np.random.default_rng(1)
+    B, N = 4, 10
+    x0 = np.asarray(rom.project_x(jnp.asarray(X[0])))
+    x0s = x0 + 0.05 * rng.normal(size=(B, model.state_dim))
+    us = np.abs(rng.normal(size=(B, N, model.input_dim)))
+    X_local = np.asarray(rollout_batch(model, jnp.asarray(x0s), jnp.asarray(us), 0.02))
+    X_shard = np.asarray(sharded_rollout_batch(model, jnp.asarray(x0s),
+                                               jnp.asarray(us), 0.02, mesh))
+    np.testing.assert_allclose(X_shard, X_local, atol=1e-12)
+
+
+def test_batch_mpc_sharded_dp(setup):
+    """The full jitted closed loop shards over 'dp' by input placement."""
+    rom, model, Hf, X = setup
+    mesh = make_mesh(dp=8, mp=1)
+    mpc = BatchMPC(model, np.array([[100.0]]), 1e-3 * np.eye(4), N=4, dt=0.02,
+                   N_replan=2, qp_iters=30, dtype=jnp.float64,
+                   W=1e-2 * np.eye(model.state_dim),
+                   V=1e-4 * np.eye(model.C.shape[0]))
+    run = mpc.build(4)
+    B = 8
+    z0 = float(X[0] @ Hf[0])
+    x0 = np.asarray(rom.project_x(jnp.asarray(X[0])))
+    T = 4 * 2 + 4 + 1
+    zt = np.tile(window_targets(np.full((T, 1), z0 + 0.03), 4, 2, 4),
+                 (B, 1, 1, 1))
+    args = (jnp.tile(x0, (B, 1)), jnp.tile(x0, (B, 1)), jnp.asarray(zt),
+            jax.random.split(jax.random.PRNGKey(0), B))
+    args = shard_batch(args, mesh, "dp")
+    logs = jax.jit(jax.vmap(run))(*args)
+    z = np.asarray(logs["z"])
+    assert z.shape == (B, 8, 1)
+    assert np.all(np.isfinite(z))
