@@ -65,6 +65,7 @@ class BatchMPC:
                  qp_iters: int = 100, scp_iters: int = 1,
                  W=None, V=None, Qk=None, Rk=None,
                  delta0: float = 1e4, omega0: float = 1.0,
+                 trust_region: bool = False, use_pallas: bool = False,
                  dtype=jnp.float32):
         """
         model: TPWLModel with output + measurement models set, will be
@@ -86,9 +87,11 @@ class BatchMPC:
 
         Qz = jnp.asarray(Qz, dtype)
         R = jnp.asarray(R, dtype)
+        # the trust region is inert in the real-time single-LOCP mode
+        # (delta0=1e4 never binds); dropping it removes ~2/3 of the QP rows
         self.spec = LOCPSpec(self.N, np.asarray(m.H), np.asarray(Qz),
                              np.asarray(R), U=U, dU=dU, x_char=x_char,
-                             dtype=dtype)
+                             is_tr_active=trust_region, dtype=dtype)
         # per-constraint rho (equalities get the OSQP 1e3 boost): row layout
         # of the spec is static, so build the vector once
         n_con = self.spec.n_con
@@ -101,6 +104,7 @@ class BatchMPC:
         self.scp_iters = int(scp_iters)
         self.delta0 = delta0
         self.omega0 = omega0
+        self.use_pallas = bool(use_pallas)
 
         # EKF covariances
         self.W = jnp.asarray(W if W is not None else 100.0 * np.eye(self.n_x),
@@ -138,8 +142,14 @@ class BatchMPC:
                 Hd=jnp.zeros((self.N + 1, self.n_z, self.n_x), self.dtype),
                 cd=jnp.zeros((self.N + 1, self.n_z), self.dtype))
             P, q, A, l, u, _ = spec.assemble(params)
-            w, y = admm_fixed(P, q, A, l, u, w0, y0, self.rho_vec,
-                              self.qp_iters)
+            if self.use_pallas:
+                from soft_robot_control_tpu.ops.pallas_admm import admm_fixed_pallas
+
+                w, y = admm_fixed_pallas(P, q, A, l, u, w0, y0, self.rho_vec,
+                                         self.qp_iters)
+            else:
+                w, y = admm_fixed(P, q, A, l, u, w0, y0, self.rho_vec,
+                                  self.qp_iters)
             x_new = w[spec.off_x:spec.off_u].reshape(self.N + 1, self.n_x)
             u_new = w[spec.off_u:spec.off_u + self.N * self.n_u].reshape(
                 self.N, self.n_u)

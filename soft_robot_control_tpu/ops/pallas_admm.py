@@ -1,0 +1,126 @@
+"""Pallas TPU kernel: fixed-iteration ADMM entirely in VMEM.
+
+The XLA lowering of the ADMM loop issues ~8 small ops per iteration, each
+with fixed launch overhead — for ROM-scale QPs (a few hundred variables)
+the solve is latency-bound, not FLOP-bound. This kernel keeps K^-1, A and
+all iterates resident in VMEM and runs every iteration inside a single
+kernel launch: one `pallas_call` instead of 8 x iters dispatches.
+
+Layout: vectors are (1, n) rows so the data lives along TPU lanes; matvecs
+are row-vector x matrix contractions on the MXU. The x-step uses an
+explicit K^-1 (computed once per solve from the Cholesky factor) because
+triangular solves do not lower inside Mosaic; K is sigma/rho-regularized so
+the explicit inverse is benign at f32 for these sizes.
+
+Falls back to interpret mode off-TPU (used by the CPU tests).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _admm_kernel(iters: int, sigma: float, alpha: float,
+                 M1_ref, A_ref, q_ref, l_ref, u_ref, rho_ref, w0_ref,
+                 y0_ref, w_out, y_out):
+    # K^-1 is applied as M1' M1 (M1 = inv(L_s) D from the Jacobi-scaled
+    # Cholesky): two matmuls, numerically far better in f32 than an
+    # explicit inverse of the ill-conditioned K.
+    M1 = M1_ref[:]
+    A = A_ref[:]
+    q = q_ref[:]
+    l = l_ref[:]
+    u = u_ref[:]
+    rho = rho_ref[:]
+    w = w0_ref[:]
+    y = y0_ref[:]
+    z = jnp.clip(jnp.dot(w, A.T, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST), l, u)
+
+    def body(i, carry):
+        w, z, y = carry
+        rhs = sigma * w - q + jnp.dot(rho * z - y, A,
+                                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        tmp = jnp.dot(rhs, M1.T, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        x_t = jnp.dot(tmp, M1, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        z_t = jnp.dot(x_t, A.T, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        w_new = alpha * x_t + (1 - alpha) * w
+        z_rel = alpha * z_t + (1 - alpha) * z
+        z_new = jnp.clip(z_rel + y / rho, l, u)
+        y_new = y + rho * (z_rel - z_new)
+        return w_new, z_new, y_new
+
+    w, z, y = jax.lax.fori_loop(0, iters, body, (w, z, y))
+    w_out[:] = w
+    y_out[:] = y
+
+
+@partial(jax.jit, static_argnames=("iters", "sigma", "alpha", "interpret"))
+def admm_pallas(M1, A, q, l, u, rho_vec, w0, y0, iters: int,
+                sigma: float = 1e-6, alpha: float = 1.6,
+                interpret: bool = False):
+    """Run `iters` ADMM iterations in one Pallas kernel.
+
+    M1: (n, n) factor with K^-1 = M1' M1 (see admm_fixed_pallas).
+    A: (m, n); q, w0: (n,); l, u, rho_vec, y0: (m,).
+    Returns (w, y).
+    """
+    n, m = M1.shape[0], A.shape[0]
+    dt = M1.dtype
+    row = lambda v: v.reshape(1, -1).astype(dt)
+    kernel = partial(_admm_kernel, iters, float(sigma), float(alpha))
+    w, y = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((1, n), dt),
+                   jax.ShapeDtypeStruct((1, m), dt)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(8)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )(M1.astype(dt), A.astype(dt), row(q), row(l), row(u), row(rho_vec),
+      row(w0), row(y0))
+    return w.reshape(-1), y.reshape(-1)
+
+
+def admm_fixed_pallas(P, q, A, l, u, w0, y0, rho_vec, iters: int,
+                      sigma: float = 1e-6, alpha: float = 1.6,
+                      interpret: bool = False):
+    """Drop-in replacement for control.batch_mpc.admm_fixed using the
+    Pallas kernel.
+
+    The x-step operator is prepared as K^-1 = M1' M1 with
+    M1 = inv(chol(D K D)) D, where D = diag(K)^-1/2 (Jacobi scaling):
+    inverting the *scaled triangular factor* keeps f32 error ~kappa(L_s)*eps
+    instead of the catastrophic explicit inverse of the raw K (whose
+    equality-row rho boost drives kappa(K) past f32 range).
+
+    Infinite bounds are clamped to large finite values (inf arithmetic in
+    the in-kernel relaxation would produce NaNs)."""
+    n = P.shape[0]
+    hi = jax.lax.Precision.HIGHEST
+    mm = lambda a, b: jnp.matmul(a, b, precision=hi)
+    K = P + sigma * jnp.eye(n, dtype=P.dtype) + mm(A.T * rho_vec[None, :], A)
+    d = jax.lax.rsqrt(jnp.diagonal(K))
+    Ks = K * d[:, None] * d[None, :]
+    Ls = jnp.linalg.cholesky(Ks)
+    I = jnp.eye(n, dtype=P.dtype)
+    Linv = jax.scipy.linalg.solve_triangular(Ls, I, lower=True)
+    # one Newton step X <- X(2I - Ls X) at full f32 precision cleans up any
+    # residual of the triangular inversion (TPU matmuls otherwise run at
+    # reduced bf16-pass precision — the HIGHEST flags here are load-bearing)
+    Linv = mm(Linv, 2.0 * I - mm(Ls, Linv))
+    M1 = Linv * d[None, :]
+    big = jnp.asarray(1e30, P.dtype)
+    l_f = jnp.maximum(l, -big)
+    u_f = jnp.minimum(u, big)
+    return admm_pallas(M1, A, q, l_f, u_f, rho_vec, w0, y0, iters,
+                       sigma=sigma, alpha=alpha, interpret=interpret)
