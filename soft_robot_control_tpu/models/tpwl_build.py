@@ -39,6 +39,7 @@ class tpwl_config:
     discr_method: str = "zoh"
     dist_weights: dict = field(default_factory=lambda: {"q": 1.0, "v": 0.0})
     output_based: bool = False
+    dt: Optional[float] = None  # required for eval_type='dynamics'
 
 
 def tpwl_distance_config(**kw) -> tpwl_config:
@@ -82,10 +83,15 @@ def build_tpwl_model(plant: FEMSurrogate, rom: POD, x_traj, u_traj,
     """Sweep a recorded trajectory and build the TPWL dictionary.
 
     x_traj: (T, 2 n_f) full-order states; u_traj: (T, m) inputs applied.
-    Selection semantics follow evaluate_point_dist (tpwl_utils.py:171-197):
-    the first point is always added; afterwards a point is added when the
-    weighted distance of its reduced (q, v) to every saved point exceeds
-    TPWL_threshold.
+
+    Selection semantics follow TPWLSnapshotData (tpwl_utils.py:156-260):
+    the first point is always added; afterwards, with
+    eval_type='distance' a point is added when the weighted distance of its
+    reduced (q, v) to every saved point exceeds TPWL_threshold
+    (evaluate_point_dist), and with eval_type='dynamics' when the current
+    partial TPWL model's one-step prediction error (weighted over q/v
+    deltas, optionally through the output map when output_based) exceeds
+    the threshold (evaluate_point_dynamics).
     """
     config = config or tpwl_config()
     wq = config.TPWL_weighting_factors["q"]
@@ -97,10 +103,12 @@ def build_tpwl_model(plant: FEMSurrogate, rom: POD, x_traj, u_traj,
     xr = np.asarray(jax.vmap(rom.project_x)(jnp.asarray(x_traj)))
     qr, vr = x2qv(xr)
     qr, vr = np.asarray(qr), np.asarray(vr)
+    r = rom.rom_dim
 
     sel_q, sel_v, sel_u = [], [], []
     A_list, B_list, d_list = [], [], []
     sel_steps = []
+    dt = getattr(config, "dt", None)
 
     jac = jax.jit(lambda xf, u: reduced_affine_dynamics(plant, rom, xf, u))
 
@@ -114,9 +122,44 @@ def build_tpwl_model(plant: FEMSurrogate, rom: POD, x_traj, u_traj,
         B_list.append(np.asarray(B))
         d_list.append(np.asarray(d))
 
+    def partial_model():
+        return TPWLModel(
+            q=np.asarray(sel_q), v=np.asarray(sel_v), u=np.asarray(sel_u),
+            A_c=np.asarray(A_list), B_c=np.asarray(B_list),
+            d_c=np.asarray(d_list), rom=rom,
+            dist_w_q=config.dist_weights["q"], dist_w_v=config.dist_weights["v"],
+            discr_method=config.discr_method, tpwl_method="nn")
+
+    if config.eval_type == "dynamics" and dt is None:
+        raise ValueError("dynamics eval_type requires config.dt")
+
+    sim_sys = None
     for i in range(x_traj.shape[0]):
         if not sel_steps:
             add(i)
+            if config.eval_type == "dynamics":
+                sim_sys = partial_model()
+            continue
+        if config.eval_type == "dynamics":
+            if i == 0 or np.all(u_traj[i - 1] == 0):
+                continue
+            # predict the current reduced state from the previous one with
+            # the partial TPWL model, compare prediction error
+            x_prev_r = jnp.asarray(xr[i - 1])
+            x_pred = np.asarray(sim_sys.update_state(
+                x_prev_r, jnp.asarray(u_traj[i - 1]), dt))
+            d_est = x_pred - xr[i - 1]
+            d_true = xr[i] - xr[i - 1]
+            dq_err = wq * np.linalg.norm(d_est[r:] - d_true[r:])
+            dv_err = wv * np.linalg.norm(d_est[:r] - d_true[:r])
+            if config.TPWL_separate_calculation:
+                hit = (dq_err >= config.TPWL_threshold
+                       or dv_err >= config.TPWL_threshold)
+            else:
+                hit = dq_err + dv_err >= config.TPWL_threshold
+            if hit:
+                add(i)
+                sim_sys = partial_model()
             continue
         qd = wq * np.linalg.norm(np.asarray(sel_q) - qr[i], axis=1)
         vd = wv * np.linalg.norm(np.asarray(sel_v) - vr[i], axis=1)

@@ -42,8 +42,7 @@ def _select_kernel(wq: float, wv: float,
                       + jnp.sum(v * v, axis=1)[:, None], 0.0)
     dist = wq * jnp.sqrt(dq2) + wv * jnp.sqrt(dv2)          # (B, P)
     best = jnp.min(dist, axis=1, keepdims=True)
-    onehot = (dist <= best).astype(x.dtype)
-    # break ties toward the lowest index like argmin: keep only first hit
+    # one-hot with argmin tie-breaking toward the lowest index
     idx = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
     first = jnp.min(jnp.where(dist <= best, idx, P), axis=1, keepdims=True)
     onehot = (idx == first).astype(x.dtype)

@@ -1,0 +1,72 @@
+"""System-identification data export.
+
+Capability parity with examples/diamond/SSM_sysID.py + collectData.py: run
+decay experiments (release from actuated deflections), record the observed
+outputs, and export them as CSV in the layout the SSMLearn MATLAB pipeline
+consumes (one trajectory per file, columns = outputs over time), plus
+pkl->csv conversion of recorded simulations.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from soft_robot_control_tpu.sim.fem_surrogate import FEMSurrogate, simulate
+from soft_robot_control_tpu.utils.io import load_data
+
+
+def collect_decay_trajectories(plant: FEMSurrogate, Hf, u_levels,
+                               hold_time: float = 2.0, decay_time: float = 4.0,
+                               dt: float = 0.01):
+    """For each input level: hold u constant until (near) steady state,
+    release (u=0) and record the decay of z = Hf x.
+
+    Returns list of (t, z) decay trajectories (the SSMLearn training
+    format: unforced decays toward the origin of the observed coordinates).
+    """
+    Hf = np.asarray(Hf)
+    out = []
+    N_hold = int(hold_time / dt)
+    N_decay = int(decay_time / dt)
+    for u_level in u_levels:
+        u_level = np.asarray(u_level, float)
+        u_seq = np.concatenate([np.tile(u_level, (N_hold, 1)),
+                                np.zeros((N_decay, plant.input_dim))], axis=0)
+        X = np.asarray(simulate(plant, plant.x_rest(), jnp.asarray(u_seq), dt))
+        decay = X[N_hold:]
+        z = decay @ Hf.T
+        t = dt * np.arange(z.shape[0])
+        out.append((t, z))
+    return out
+
+
+def export_decays_csv(decays, out_dir: str, prefix: str = "decay"):
+    """Write each (t, z) decay to <prefix>_<i>.csv with columns [t, z...]."""
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for i, (t, z) in enumerate(decays):
+        path = os.path.join(out_dir, f"{prefix}_{i}.csv")
+        np.savetxt(path, np.column_stack([t, z]), delimiter=",")
+        paths.append(path)
+    return paths
+
+
+def sim_pkl_to_csv(pkl_path: str, out_dir: Optional[str] = None):
+    """Convert a recorded *_sim.pkl into t/u/z CSV files
+    (examples/diamond/collectData.py role)."""
+    data = load_data(pkl_path)
+    out_dir = out_dir or os.path.dirname(pkl_path)
+    base = os.path.splitext(os.path.basename(pkl_path))[0]
+    os.makedirs(out_dir, exist_ok=True)
+    paths = {}
+    for key in ("t", "u", "z", "z_hat"):
+        if key in data and np.asarray(data[key]).size:
+            path = os.path.join(out_dir, f"{base}_{key}.csv")
+            np.savetxt(path, np.atleast_2d(np.asarray(data[key])),
+                       delimiter=",")
+            paths[key] = path
+    return paths
