@@ -67,6 +67,9 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+        if args.platform == "cpu":
+            # solver accuracy targets assume f64 off-TPU
+            jax.config.update("jax_enable_x64", True)
 
     from soft_robot_control_tpu.tasks import recipes
     from soft_robot_control_tpu.tasks.analysis import summarize
