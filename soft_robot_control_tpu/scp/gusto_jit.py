@@ -1,0 +1,209 @@
+"""Device-resident GuSTO: the trust-region SCP loop under `lax.while_loop`.
+
+The host GuSTO (scp/gusto.py) mirrors the reference's data-dependent Python
+loop. This variant runs the *entire* solve on device — linearization,
+LOCP assembly, fixed-iteration ADMM, trust-region accept/reject, delta and
+omega schedules, convergence test — as one compiled while_loop, so complete
+GuSTO solves can be jitted, vmapped over batches of initial conditions /
+targets, and embedded inside larger device programs.
+
+Semantics follow gusto.py:283-488 (and the reference's modifications 1 and
+3) with where-based acceptance instead of Python branches:
+- reject when the solution leaves the scaled trust region -> omega grows;
+- reject when the Taylor-accuracy ratio rho_k exceeds rho (except on
+  iteration 1, the reference's nudge) -> delta shrinks;
+- modification 1: accepted solve with unchanged (delta, omega) but
+  non-decreasing cost -> delta shrinks;
+- modification 3: state-constraint violation only ever grows omega;
+- converged when the scaled mean state change falls under convg_thresh
+  (and X is satisfied).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from soft_robot_control_tpu.control.batch_mpc import admm_fixed
+from soft_robot_control_tpu.scp.gusto import (BETA_FAIL, CONVERGE, DELTA0,
+                                              EPSILON, GAMMA_FAIL, OMEGA0,
+                                              OMEGA_MAX, RHO)
+from soft_robot_control_tpu.scp.locp import LOCPParams, LOCPSpec
+
+
+class GuSTOJitResult(NamedTuple):
+    x: jnp.ndarray          # (N+1, n_x)
+    u: jnp.ndarray          # (N, n_u)
+    iters: jnp.ndarray      # SCP iterations executed
+    converged: jnp.ndarray  # bool
+    J: jnp.ndarray          # last accepted QP objective
+
+
+class GuSTOJit:
+    """Factory: compiles a full GuSTO solve for a fixed problem structure.
+
+    model: a GuSTO adapter whose get_discrete_dynamics /
+    get_continuous_dynamics are jax-traceable (TPWL, SSM, Dubins).
+    """
+
+    def __init__(self, model, N, dt, Qz, R, U=None, dU=None, X=None,
+                 x_char=None, f_char=None, max_iters: int = 20,
+                 qp_iters: int = 100, rho_qp: float = 0.1,
+                 delta0=DELTA0, omega0=OMEGA0, rho=RHO,
+                 beta_fail=BETA_FAIL, gamma_fail=GAMMA_FAIL,
+                 omega_max=OMEGA_MAX, epsilon=EPSILON,
+                 convg_thresh=CONVERGE, dtype=jnp.float64):
+        self.model = model
+        self.N = int(N)
+        self.dt = float(dt)
+        self.dtype = dtype
+        self.max_iters = int(max_iters)
+        self.qp_iters = int(qp_iters)
+        self.p = dict(delta0=delta0, omega0=omega0, rho=rho,
+                      beta_fail=beta_fail, gamma_fail=gamma_fail,
+                      omega_max=omega_max, epsilon=epsilon,
+                      convg_thresh=convg_thresh)
+        self.n_x, self.n_u = model.n_x, model.n_u
+        self.n_z = np.asarray(Qz).shape[0]
+        self.X = X
+        self.spec = LOCPSpec(self.N, np.asarray(model.H), np.asarray(Qz),
+                             np.asarray(R), U=U, dU=dU, X=X, x_char=x_char,
+                             is_tr_active=True, dtype=dtype)
+        x_char = np.ones(self.n_x) if x_char is None else np.asarray(x_char)
+        f_char = np.ones(self.n_x) if f_char is None else np.asarray(f_char)
+        self.x_scale = jnp.asarray(1.0 / np.abs(x_char), dtype)
+        self.f_scale = jnp.asarray(1.0 / np.abs(f_char), dtype)
+
+        from soft_robot_control_tpu.qp.admm import OSQP_RHO_EQ_SCALE
+
+        rho_vec = np.full(self.spec.n_con, rho_qp)
+        nx, N_ = self.spec.n_x, self.spec.N
+        rho_vec[self.spec.r_init:self.spec.r_init + nx] *= OSQP_RHO_EQ_SCALE
+        rho_vec[self.spec.r_dyn:self.spec.r_dyn + N_ * nx] *= OSQP_RHO_EQ_SCALE
+        self.rho_vec = jnp.asarray(rho_vec, dtype)
+
+        self._solve = jax.jit(self._build())
+
+    # ------------------------------------------------------------------
+    def _build(self):
+        model, spec, dt = self.model, self.spec, self.dt
+        N, n_x, n_u, n_z = self.N, self.n_x, self.n_u, self.n_z
+        p = {k: jnp.asarray(v, self.dtype) for k, v in self.p.items()}
+        max_iters, qp_iters = self.max_iters, self.qp_iters
+        x_scale, f_scale = self.x_scale, self.f_scale
+        rho_vec = self.rho_vec
+        X_set = self.X
+
+        lin_d = jax.vmap(lambda x, u_: model.get_discrete_dynamics(x, u_, dt))
+        lin_c = jax.vmap(model.get_continuous_dynamics)
+
+        def qp(x_k, u_k, x0, z, u_des, delta, omega, warm):
+            Ad, Bd, dd = lin_d(x_k[:-1], u_k)
+            params = LOCPParams(
+                Ad=Ad, Bd=Bd, dd=dd, x0=x0, xk=x_k, delta=delta, omega=omega,
+                z=z, zf=jnp.zeros(n_z, self.dtype), u_des=u_des,
+                Hd=jnp.zeros((N + 1, n_z, n_x), self.dtype),
+                cd=jnp.zeros((N + 1, n_z), self.dtype))
+            P, q, A, l, u_b, const = spec.assemble(params)
+            w, y = admm_fixed(P, q, A, l, u_b, warm[0], warm[1], rho_vec,
+                              qp_iters)
+            x_n = w[spec.off_x:spec.off_u].reshape(N + 1, n_x)
+            u_n = w[spec.off_u:spec.off_u + N * n_u].reshape(N, n_u)
+            J = 0.5 * w @ (P @ w) + q @ w + const
+            return x_n, u_n, J, (w, y)
+
+        def accuracy(x_n, u_n, x_k, u_k, J):
+            f_new, _, _ = lin_c(x_n[:-1], u_n)
+            fk, Ak, Bk = lin_c(x_k[:-1], u_k)
+            f_lin = fk + jnp.einsum("kij,kj->ki", Ak, x_n[:-1] - x_k[:-1]) \
+                + jnp.einsum("kij,kj->ki", Bk, u_n - u_k)
+            err = dt * jnp.sum(jnp.linalg.norm(f_scale * (f_new - f_lin), axis=1))
+            approx = dt * jnp.sum(jnp.linalg.norm(f_scale * f_lin, axis=1))
+            return err / (J + approx)
+
+        def solve(x0, u_init, x_init, z, u_des):
+            z = z.astype(self.dtype)
+            u_des = u_des.astype(self.dtype)
+
+            def cond(c):
+                (x_k, u_k, delta, omega, Jp, dp, op, itr, conv, warm, J) = c
+                return (itr < max_iters) & (~conv) & (omega <= p["omega_max"])
+
+            def body(c):
+                (x_k, u_k, delta, omega, Jp, dp, op, itr, conv, warm, J_last) = c
+                x_n, u_n, J, warm_n = qp(x_k, u_k, x0, z, u_des, delta, omega,
+                                         warm)
+                # trust region (scaled max row inf-norm)
+                max_diff = jnp.max(jnp.max(jnp.abs(x_scale * (x_n - x_k)),
+                                           axis=1))
+                tr_ok = (max_diff - delta) <= p["epsilon"]
+                rho_k = accuracy(x_n, u_n, x_k, u_k, J)
+                rho_bad = (rho_k > p["rho"]) & (itr != 1)
+                # modification 1
+                mod1 = (dp == delta) & (op == omega) & (Jp <= J)
+                # state-constraint violation (modification 3: omega only grows)
+                if X_set is not None:
+                    viol = jnp.max(X_set.violation(x_n[1:]))
+                    X_ok = viol <= p["epsilon"]
+                else:
+                    X_ok = jnp.asarray(True)
+                accept = tr_ok & ~rho_bad
+                # schedules
+                delta_new = jnp.where(
+                    tr_ok & rho_bad, p["beta_fail"] * delta,
+                    jnp.where(accept & mod1, p["beta_fail"] * delta, delta))
+                omega_new = jnp.where(~tr_ok, p["gamma_fail"] * omega,
+                                      jnp.where(accept & ~X_ok,
+                                                p["gamma_fail"] * omega,
+                                                omega))
+                # convergence on accepted solutions
+                dsol = jnp.sum(jnp.linalg.norm(x_scale * (x_n - x_k), axis=1)) \
+                    / (self.n_x * N)
+                conv_new = accept & (dsol <= p["convg_thresh"]) & X_ok
+                # bookkeeping of previous accepted (delta, omega, J)
+                dp_new = jnp.where(accept, delta, dp)
+                op_new = jnp.where(accept, omega, op)
+                Jp_new = jnp.where(accept, J, Jp)
+                x_k = jnp.where(accept, x_n, x_k)
+                u_k = jnp.where(accept, u_n, u_k)
+                warm = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(accept, a, b), warm_n, warm)
+                return (x_k, u_k, delta_new, omega_new, Jp_new, dp_new,
+                        op_new, itr + 1, conv_new, warm,
+                        jnp.where(accept, J, J_last))
+
+            inf = jnp.asarray(jnp.inf, self.dtype)
+            warm0 = (jnp.zeros(spec.n_var, self.dtype),
+                     jnp.zeros(spec.n_con, self.dtype))
+            c0 = (x_init.astype(self.dtype), u_init.astype(self.dtype),
+                  p["delta0"], p["omega0"], inf, inf, inf,
+                  jnp.asarray(0), jnp.asarray(False), warm0, inf)
+            c = jax.lax.while_loop(cond, body, c0)
+            (x_k, u_k, *_rest) = c
+            return GuSTOJitResult(x=x_k, u=u_k, iters=c[7], converged=c[8],
+                                  J=c[10])
+
+        return solve
+
+    # ------------------------------------------------------------------
+    def solve(self, x0, u_init, x_init, z, u_des=None):
+        """One full GuSTO solve on device. z: (N+1, n_z); u_des: (N, n_u)."""
+        u_des = (jnp.zeros((self.N, self.n_u), self.dtype)
+                 if u_des is None else jnp.asarray(u_des, self.dtype))
+        return self._solve(jnp.asarray(x0, self.dtype),
+                           jnp.asarray(u_init, self.dtype),
+                           jnp.asarray(x_init, self.dtype),
+                           jnp.asarray(z, self.dtype), u_des)
+
+    def solve_batch(self, x0, u_init, x_init, z, u_des=None):
+        """vmapped GuSTO over a batch of problems (leading axis on all)."""
+        if u_des is None:
+            u_des = jnp.zeros((x0.shape[0], self.N, self.n_u), self.dtype)
+        return jax.jit(jax.vmap(self._solve))(
+            jnp.asarray(x0, self.dtype), jnp.asarray(u_init, self.dtype),
+            jnp.asarray(x_init, self.dtype), jnp.asarray(z, self.dtype),
+            jnp.asarray(u_des, self.dtype))

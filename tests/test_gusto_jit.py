@@ -1,0 +1,83 @@
+"""Device-resident GuSTO: agreement with the host GuSTO on the Dubins car,
+and vmapped batched solves."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from soft_robot_control_tpu.models.dubins import DubinsCar
+from soft_robot_control_tpu.scp.gusto import GuSTO
+from soft_robot_control_tpu.scp.gusto_jit import GuSTOJit
+from soft_robot_control_tpu.core.constraints import HyperRectangle
+
+
+def _dubins_problem(N=30, dt=0.1):
+    model = DubinsCar()
+    Qz = np.diag([1.0, 1.0, 0.0])
+    R = 0.1 * np.eye(2)
+    U = HyperRectangle(np.array([1.0, 1.0]), np.array([0.0, -1.0]))
+    z_tgt = np.tile(np.array([1.0, 1.0, 0.0]), (N + 1, 1))
+    x0 = np.zeros(3)
+    u_init = np.zeros((N, 2))
+    x_init = np.asarray(model.rollout(x0, u_init, dt))
+    return model, Qz, R, U, z_tgt, x0, u_init, x_init
+
+
+def test_gusto_jit_matches_host_on_dubins():
+    N, dt = 30, 0.1
+    model, Qz, R, U, z_tgt, x0, u_init, x_init = _dubins_problem(N, dt)
+
+    host = GuSTO(model, N, dt, Qz, R, x0, u_init, x_init, z=z_tgt, U=U,
+                 verbose=0, warm_start=True)
+    x_h, u_h, _, _ = host.get_solution()
+
+    dev = GuSTOJit(model, N, dt, Qz, R, U=U, max_iters=25, qp_iters=400)
+    res = dev.solve(x0, u_init, x_init, z_tgt)
+    assert bool(res.converged)
+    x_d, u_d = np.asarray(res.x), np.asarray(res.u)
+
+    # SCP on the (nonconvex) Dubins car may land on different local optima;
+    # demand comparable *solution quality*: the device solve's true cost
+    # must not exceed the host solve's by more than 10%
+    def true_cost(x, u):
+        J = 0.0
+        for k in range(N + 1):
+            r = x[k] - z_tgt[k]
+            J += r @ Qz @ r
+        for k in range(N):
+            J += u[k] @ R @ u[k]
+        return J
+
+    J_h, J_d = true_cost(x_h, u_h), true_cost(x_d, u_d)
+    assert J_d <= 1.1 * J_h, (J_d, J_h)
+    # input constraints respected, dynamics defect small at the fixed point
+    assert np.all(u_d[:, 0] >= -1e-6) and np.all(u_d[:, 0] <= 1 + 1e-6)
+    assert np.all(np.abs(u_d[:, 1]) <= 1 + 1e-6)
+    x_roll = np.asarray(model.rollout(x0, u_d, dt))
+    assert np.linalg.norm(x_roll[-1, :2] - x_d[-1, :2]) < 0.15
+
+
+def test_gusto_jit_batched_solves():
+    N, dt = 20, 0.1
+    model, Qz, R, U, _, _, u_init, _ = _dubins_problem(N, dt)
+    dev = GuSTOJit(model, N, dt, Qz, R, U=U, max_iters=20, qp_iters=300)
+
+    B = 4
+    rng = np.random.default_rng(0)
+    targets = rng.uniform(0.5, 1.5, size=(B, 2))
+    z = np.zeros((B, N + 1, 3))
+    z[:, :, :2] = targets[:, None, :]
+    x0 = np.zeros((B, 3))
+    u0 = np.zeros((B, N, 2))
+    x_init = np.stack([np.asarray(model.rollout(x0[b], u0[b], dt))
+                       for b in range(B)])
+    res = dev.solve_batch(x0, u0, x_init, z)
+    x = np.asarray(res.x)
+    assert x.shape == (B, N + 1, 3)
+    assert np.asarray(res.converged).all()
+    # each batch element heads toward its own target
+    for b in range(B):
+        d0 = np.linalg.norm(targets[b])
+        d1 = np.linalg.norm(x[b, -1, :2] - targets[b])
+        assert d1 < 0.5 * d0, (b, d0, d1)
