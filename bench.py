@@ -52,9 +52,11 @@ def main():
                    use_pallas=True,
                    W=1e-2 * np.eye(model.state_dim),
                    V=1e-4 * np.eye(model.C.shape[0]))
+    # batched path: precomputed-K^-1 iterations (batched triangular solves
+    # would otherwise dominate at 1024-way)
     mpc_xla = BatchMPC(model, 100.0 * np.eye(6), 1e-3 * np.eye(4), N=N, dt=dt,
                        N_replan=N_replan, qp_iters=50, scp_iters=1,
-                       dtype=dtype,
+                       dtype=dtype, x_step="kinv",
                        W=1e-2 * np.eye(model.state_dim),
                        V=1e-4 * np.eye(model.C.shape[0]))
 

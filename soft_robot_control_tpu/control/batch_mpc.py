@@ -57,6 +57,47 @@ def admm_fixed(P, q, A, l, u, w0, y0, rho_vec, iters: int, sigma=1e-6,
     return w, y
 
 
+def make_kinv(P, A, rho_vec, sigma=1e-6):
+    """Explicit K^-1 for the x-step, prepared the stable way: Jacobi-scale
+    K, Cholesky, triangular inverse, one full-precision Newton step, then
+    K^-1 = M1' M1. Vmaps into batched matmuls (MXU), unlike per-iteration
+    triangular solves which are sequential and dominate batched ADMM."""
+    n = P.shape[0]
+    hi = jax.lax.Precision.HIGHEST
+    mm = lambda a, b: jnp.matmul(a, b, precision=hi)
+    K = P + sigma * jnp.eye(n, dtype=P.dtype) + mm(A.T * rho_vec[None, :], A)
+    d = jax.lax.rsqrt(jnp.diagonal(K))
+    Ks = K * d[:, None] * d[None, :]
+    Ls = jnp.linalg.cholesky(Ks)
+    I = jnp.eye(n, dtype=P.dtype)
+    Linv = jax.scipy.linalg.solve_triangular(Ls, I, lower=True)
+    Linv = mm(Linv, 2.0 * I - mm(Ls, Linv))
+    M1 = Linv * d[None, :]
+    return mm(M1.T, M1)
+
+
+def admm_fixed_kinv(Kinv, q, A, l, u, w0, y0, rho_vec, iters: int,
+                    sigma=1e-6, alpha=1.6):
+    """Fixed-iteration ADMM with a precomputed K^-1: every iteration is
+    pure matmuls/elementwise — the vmapped/batched fast path."""
+    hi = jax.lax.Precision.HIGHEST
+    z0 = jnp.clip(A @ w0, l, u)
+
+    def body(i, carry):
+        w, z, y = carry
+        rhs = sigma * w - q + jnp.matmul(A.T, rho_vec * z - y, precision=hi)
+        w_t = jnp.matmul(Kinv, rhs, precision=hi)
+        z_t = jnp.matmul(A, w_t, precision=hi)
+        w_new = alpha * w_t + (1 - alpha) * w
+        z_rel = alpha * z_t + (1 - alpha) * z
+        z_new = jnp.clip(z_rel + y / rho_vec, l, u)
+        y_new = y + rho_vec * (z_rel - z_new)
+        return w_new, z_new, y_new
+
+    w, z, y = jax.lax.fori_loop(0, iters, body, (w0, z0, y0))
+    return w, y
+
+
 class BatchMPC:
     """Factory for the jitted batched closed loop on a TPWL model."""
 
@@ -66,7 +107,7 @@ class BatchMPC:
                  W=None, V=None, Qk=None, Rk=None,
                  delta0: float = 1e4, omega0: float = 1.0,
                  trust_region: bool = False, use_pallas: bool = False,
-                 dtype=jnp.float32):
+                 x_step: str = "chol", dtype=jnp.float32):
         """
         model: TPWLModel with output + measurement models set, will be
                pre-discretized at dt.
@@ -105,6 +146,10 @@ class BatchMPC:
         self.delta0 = delta0
         self.omega0 = omega0
         self.use_pallas = bool(use_pallas)
+        # x-step linear solve: 'chol' (per-iteration cho_solve, best f64
+        # accuracy) or 'kinv' (precomputed K^-1, pure-matmul iterations —
+        # the fast path under vmap where batched triangular solves dominate)
+        self.x_step = x_step
 
         # EKF covariances
         self.W = jnp.asarray(W if W is not None else 100.0 * np.eye(self.n_x),
@@ -147,6 +192,10 @@ class BatchMPC:
 
                 w, y = admm_fixed_pallas(P, q, A, l, u, w0, y0, self.rho_vec,
                                          self.qp_iters)
+            elif self.x_step == "kinv":
+                Kinv = make_kinv(P, A, self.rho_vec)
+                w, y = admm_fixed_kinv(Kinv, q, A, l, u, w0, y0,
+                                       self.rho_vec, self.qp_iters)
             else:
                 w, y = admm_fixed(P, q, A, l, u, w0, y0, self.rho_vec,
                                   self.qp_iters)

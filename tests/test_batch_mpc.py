@@ -94,3 +94,27 @@ def test_batched_matches_single(setup):
     for k in ["z", "u"]:
         np.testing.assert_allclose(np.asarray(batched[k][1]),
                                    np.asarray(single[k]), atol=1e-9)
+
+
+def test_kinv_xstep_matches_chol(setup):
+    """The precomputed-K^-1 ADMM variant must agree with the cho_solve
+    variant (f64)."""
+    plant, rom, model, Hf, Cf, X, dt = setup
+    import jax
+
+    kw = dict(N=4, dt=dt, N_replan=2, qp_iters=60, dtype=jnp.float64,
+              W=1e-2 * np.eye(model.state_dim),
+              V=1e-4 * np.eye(model.C.shape[0]))
+    runs = {}
+    for xs in ("chol", "kinv"):
+        mpc = BatchMPC(model, np.array([[100.0]]), 1e-3 * np.eye(4),
+                       x_step=xs, **kw)
+        run = mpc.build(5)
+        z0 = float(X[0] @ Hf[0])
+        x0 = np.asarray(rom.project_x(jnp.asarray(X[0])))
+        T = 5 * 2 + 4 + 1
+        zt = window_targets(np.full((T, 1), z0 + 0.05), 5, 2, 4)
+        runs[xs] = jax.jit(run)(jnp.asarray(x0), jnp.asarray(x0),
+                                jnp.asarray(zt), jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(runs["kinv"]["z"]),
+                               np.asarray(runs["chol"]["z"]), atol=1e-6)
