@@ -280,6 +280,116 @@ class BatchMPC:
         return jax.jit(jax.vmap(self._run))(x_plant0, ekf_x0, z_target, keys)
 
 
+class BatchSSMMPC:
+    """Fully-jitted batched SSM MPC (config 4 x config 5).
+
+    The SSM real-time configuration (examples/hardware/diamond_SSM.py:
+    max_gusto_iters=0, manifold observer, feedforward-only control,
+    SSM/controllers.py:235-239) compiled as one scan: each window
+    relinearizes the polynomial dynamics AND the nonlinear chart along the
+    previous plan (time-varying H_d, c_d entering the QP objective,
+    locp.py:231-245 semantics), solves one LOCP with fixed-iteration ADMM,
+    and executes N_replan feedforward ticks against the SSM-as-plant with
+    the algebraic manifold observer in the loop.
+    """
+
+    def __init__(self, model, Qz, R, N: int, dt: float, N_replan: int = 1,
+                 U=None, dU=None, qp_iters: int = 100, rho: float = 0.1,
+                 x_step: str = "kinv", dtype=jnp.float64):
+        self.dt = float(dt)
+        self.N = int(N)
+        self.N_replan = int(N_replan)
+        self.model = jax.tree_util.tree_map(
+            lambda a: a.astype(dtype) if hasattr(a, "astype") else a, model)
+        m = self.model
+        self.n_x, self.n_u = m.state_dim, m.input_dim
+        self.n_z = m.output_dim
+        self.dtype = dtype
+        self.x_step = x_step
+        Qz = np.asarray(Qz)
+        R = np.asarray(R)
+        self.spec = LOCPSpec(self.N, np.asarray(m.H), Qz, R, U=U, dU=dU,
+                             nonlinear_observer=True, is_tr_active=False,
+                             dtype=dtype)
+        rho_vec = np.full(self.spec.n_con, rho)
+        nx, N_ = self.spec.n_x, self.spec.N
+        rho_vec[self.spec.r_init:self.spec.r_init + nx] *= OSQP_RHO_EQ_SCALE
+        rho_vec[self.spec.r_dyn:self.spec.r_dyn + N_ * nx] *= OSQP_RHO_EQ_SCALE
+        self.rho_vec = jnp.asarray(rho_vec, dtype)
+        self.qp_iters = int(qp_iters)
+        self._run = None
+
+    def _mpc_query(self, x0, x_plan_prev, u_plan_prev, z_win, warm):
+        m, spec = self.model, self.spec
+        Ad, Bd, dd = jax.vmap(lambda x, u_: m.get_jacobians(x, u_, self.dt))(
+            x_plan_prev[:-1], u_plan_prev)
+        Hd, cd = jax.vmap(m.get_observer_jacobians)(x_plan_prev)
+        params = LOCPParams(
+            Ad=Ad, Bd=Bd, dd=dd, x0=x0, xk=x_plan_prev,
+            delta=jnp.asarray(1e4, self.dtype),
+            omega=jnp.asarray(1.0, self.dtype),
+            z=z_win, zf=jnp.zeros(self.n_z, self.dtype),
+            u_des=jnp.zeros((self.N, self.n_u), self.dtype),
+            Hd=Hd, cd=cd)
+        P, q, A, l, u, _ = spec.assemble(params)
+        w0, y0 = warm
+        if self.x_step == "kinv":
+            Kinv = make_kinv(P, A, self.rho_vec)
+            w, y = admm_fixed_kinv(Kinv, q, A, l, u, w0, y0, self.rho_vec,
+                                   self.qp_iters)
+        else:
+            w, y = admm_fixed(P, q, A, l, u, w0, y0, self.rho_vec,
+                              self.qp_iters)
+        x_plan = w[spec.off_x:spec.off_u].reshape(self.N + 1, self.n_x)
+        u_plan = w[spec.off_u:spec.off_u + self.N * self.n_u].reshape(
+            self.N, self.n_u)
+        return x_plan, u_plan, (w, y)
+
+    def build(self, n_windows: int):
+        m = self.model
+        N, N_rep, dt = self.N, self.N_replan, self.dt
+
+        def tick(carry, k):
+            x_p, x_plan, u_plan = carry
+            u = u_plan[k]  # feedforward only (SSM/controllers.py:235-239)
+            x_next = m.update_state(x_p, u, dt)
+            z = m.x_to_zfyf(x_next)
+            return (x_next, x_plan, u_plan), (z, u)
+
+        def window(carry, z_win):
+            x_p, x_plan, u_plan, warm = carry
+            # manifold observer: x_hat = W_map(z - z_ref) of the measured
+            # output (SSM/controllers.py:302-310)
+            z_meas = m.x_to_zfyf(x_p)
+            x_hat = m.compute_RO_state(z_meas)
+            x_plan, u_plan, warm = self._mpc_query(x_hat, x_plan, u_plan,
+                                                   z_win, warm)
+            (x_p, _, _), (zs, us) = jax.lax.scan(
+                tick, (x_p, x_plan, u_plan), jnp.arange(N_rep))
+            return (x_p, x_plan, u_plan, warm), (zs, us)
+
+        n_var, n_con = self.spec.n_var, self.spec.n_con
+
+        def run(x_plant0, z_target):
+            """z_target: (n_windows, N+1, n_z) SHIFTED targets."""
+            x_plan0 = jnp.tile(x_plant0[None], (N + 1, 1))
+            u_plan0 = jnp.zeros((N, self.n_u), self.dtype)
+            warm0 = (jnp.zeros(n_var, self.dtype),
+                     jnp.zeros(n_con, self.dtype))
+            carry0 = (x_plant0, x_plan0, u_plan0, warm0)
+            _, (zs, us) = jax.lax.scan(window, carry0, z_target)
+            return {"z": zs.reshape(-1, self.n_z),
+                    "u": us.reshape(-1, self.n_u)}
+
+        self._run = run
+        return run
+
+    def run_batch(self, x_plant0, z_target):
+        if self._run is None:
+            raise RuntimeError("call build() first")
+        return jax.jit(jax.vmap(self._run))(x_plant0, z_target)
+
+
 def window_targets(z_traj, n_windows: int, N_replan: int, N: int):
     """Slice a long target trajectory (T, n_z) into per-window solver targets
     (n_windows, N+1, n_z): window w starts at w*N_replan."""

@@ -128,3 +128,52 @@ def test_config4_ssm_mpc_closed_loop(ssm_model):
     rel = np.sqrt(np.mean(err**2)) / amp
     assert rel < 0.35, f"SSM MPC tracking rel RMSE {rel:.3f}"
     assert len(service.gusto.uopt) == N
+
+
+@pytest.mark.slow
+def test_batched_ssm_mpc(ssm_model):
+    """Config 4 x config 5: fully-jitted batched SSM MPC over a batch of
+    phase-shifted circle targets (real SSM artifacts, SSM-as-plant)."""
+    from soft_robot_control_tpu.control.batch_mpc import BatchSSMMPC, window_targets
+
+    model = ssm_model
+    dt = 0.02
+    N, N_replan = 3, 2
+    nz = model.output_dim
+    Qz = np.zeros((nz, nz))
+    Qz[0, 0] = Qz[1, 1] = 100.0
+    R = 1e-7 * np.eye(model.input_dim)
+
+    mpc = BatchSSMMPC(model, Qz, R, N=N, dt=dt, N_replan=N_replan,
+                      qp_iters=150, dtype=jnp.float64)
+    n_windows = 60
+    run = mpc.build(n_windows)
+
+    B = 4
+    rng = np.random.default_rng(0)
+    phases = rng.uniform(0, 2 * np.pi, size=B)
+    amp = 2.0
+    T = n_windows * N_replan + N + 1
+    t = dt * np.arange(T)
+    z_targets = []
+    for b in range(B):
+        z = np.zeros((T, nz))
+        z[:, 0] = amp * np.cos(2 * np.pi * t / 6.0 + phases[b]) - amp * np.cos(phases[b])
+        z[:, 1] = amp * np.sin(2 * np.pi * t / 6.0 + phases[b]) - amp * np.sin(phases[b])
+        z_targets.append(window_targets(z, n_windows, N_replan, N))
+    z_targets = jnp.asarray(np.stack(z_targets))
+
+    x0 = jnp.zeros((B, model.state_dim))
+    logs = mpc.run_batch(x0, z_targets)
+    z = np.asarray(logs["z"])  # unshifted outputs (B, T_sim, nz)
+    assert np.all(np.isfinite(z))
+    z_ref = np.asarray(model.z_ref)
+    for b in range(B):
+        T_sim = z.shape[1]
+        ts = dt * (np.arange(T_sim) + 1)
+        zx_des = amp * np.cos(2 * np.pi * ts / 6.0 + phases[b]) - amp * np.cos(phases[b])
+        zy_des = amp * np.sin(2 * np.pi * ts / 6.0 + phases[b]) - amp * np.sin(phases[b])
+        err = np.hypot(z[b, T_sim // 3:, 0] - z_ref[0] - zx_des[T_sim // 3:],
+                       z[b, T_sim // 3:, 1] - z_ref[1] - zy_des[T_sim // 3:])
+        rel = np.sqrt(np.mean(err**2)) / amp
+        assert rel < 0.3, f"batch {b}: rel RMSE {rel:.3f}"
