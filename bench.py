@@ -103,6 +103,24 @@ def main():
                      warmup=2, iters=5)
     batch_mpc_steps_per_sec = B * n_win / t_batch
 
+    # ---- 4. batched full-GuSTO trajectory optimization (device while_loop)
+    from soft_robot_control_tpu.models.interfaces import TPWLGuSTO
+    from soft_robot_control_tpu.scp.gusto_jit import GuSTOJit
+
+    g_model = TPWLGuSTO(model_d)
+    gj = GuSTOJit(g_model, N=5, dt=dt, Qz=100.0 * np.eye(6),
+                  R=1e-3 * np.eye(4), max_iters=5, qp_iters=50,
+                  x_step="kinv", dtype=dtype)
+    Bg = 64
+    rng2 = np.random.default_rng(2)
+    x0g = jnp.asarray(0.05 * rng2.normal(size=(Bg, model.state_dim)), dtype)
+    u0g = jnp.zeros((Bg, 5, 4), dtype)
+    xig = jnp.repeat(x0g[:, None, :], 6, axis=1)
+    zg = jnp.asarray(np.repeat(
+        np.asarray(model_d.z_ref)[None, None, :], 6, axis=1).repeat(Bg, 0), dtype)
+    t_g = timeit(lambda: gj.solve_batch(x0g, u0g, xig, zg), warmup=1, iters=5)
+    gusto_solves_per_sec = Bg / t_g
+
     result = {
         "metric": "gusto_mpc_step_ms_diamond",
         "value": round(mpc_ms, 4),
@@ -113,6 +131,7 @@ def main():
             "mpc_step_ms_single_call": round(mpc_single_ms, 4),
             "tpwl_rollouts_per_sec_1024way": round(rollouts_per_sec, 1),
             "batched_mpc_windows_per_sec_1024way": round(batch_mpc_steps_per_sec, 1),
+            "batched_full_gusto_solves_per_sec_64way": round(gusto_solves_per_sec, 1),
             "device": str(jax.devices()[0]),
         },
     }

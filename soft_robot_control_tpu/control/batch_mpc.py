@@ -20,8 +20,7 @@ gains, tpwl/controllers.py:239-246,326-333), restructured for the compiler:
 
 from __future__ import annotations
 
-from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +28,7 @@ import numpy as np
 
 from soft_robot_control_tpu.estimators.ekf import EKFState, ekf_update
 from soft_robot_control_tpu.lqr.riccati import dare
-from soft_robot_control_tpu.qp.admm import _ruiz_equilibrate, OSQP_RHO_EQ_SCALE
+from soft_robot_control_tpu.qp.admm import OSQP_RHO_EQ_SCALE
 from soft_robot_control_tpu.scp.locp import LOCPParams, LOCPSpec
 
 

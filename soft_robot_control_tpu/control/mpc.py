@@ -14,8 +14,6 @@ the global (t_opt, u_opt, x_opt) arrays on the N_replan * dt grid.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -9,8 +9,6 @@ and OpenLoop. The receding-horizon `scp` controllers live in control/mpc.py.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 

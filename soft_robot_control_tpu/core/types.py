@@ -7,15 +7,8 @@ immutable pytrees that flow through jit/vmap/scan.
 
 from __future__ import annotations
 
-from typing import Any, Optional
-
 import jax
 import numpy as np
-
-
-def _register(cls):
-    """Register a simple dataclass-like NamedTuple subclass as a pytree."""
-    return cls
 
 
 class QuadraticCost:

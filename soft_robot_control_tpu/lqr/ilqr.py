@@ -18,8 +18,6 @@ restriction the reference notes at ilqr.py:184-185).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -14,8 +14,6 @@ of the reference's Python loop with list appends (traj_tracking_lqr.py:30-41).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

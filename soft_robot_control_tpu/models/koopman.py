@@ -17,8 +17,6 @@ from __future__ import annotations
 
 from functools import lru_cache
 from itertools import product
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -22,9 +22,6 @@ input_dim, output_dim, SSM_order, ROM_order}; ssm.py:30-51).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

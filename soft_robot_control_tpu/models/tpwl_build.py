@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from soft_robot_control_tpu.core.packing import qv2x, x2qv
+from soft_robot_control_tpu.core.packing import x2qv
 from soft_robot_control_tpu.models.tpwl import TPWLModel
 from soft_robot_control_tpu.rom.pod import POD
 from soft_robot_control_tpu.sim.fem_surrogate import FEMSurrogate

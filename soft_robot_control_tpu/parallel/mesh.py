@@ -18,8 +18,6 @@ device_count) for testing, and identically on real TPU meshes.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -15,14 +15,12 @@ Reference parameters honored:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
 from typing import Optional
 
 import numpy as np
 
 from soft_robot_control_tpu.control import sequences as seqs
-from soft_robot_control_tpu.sim.fem_surrogate import FEMSurrogate, make_chain_robot
-from soft_robot_control_tpu.sim.measurement import MeasurementModel, linearModel
+from soft_robot_control_tpu.sim.fem_surrogate import make_chain_robot
 
 
 class SurrogateRobot:

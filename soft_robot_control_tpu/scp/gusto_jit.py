@@ -21,14 +21,16 @@ Semantics follow gusto.py:283-488 (and the reference's modifications 1 and
 
 from __future__ import annotations
 
-from functools import partial
+from functools import partial  # noqa: F401 (kept for symmetry)
 from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from soft_robot_control_tpu.control.batch_mpc import admm_fixed
+from soft_robot_control_tpu.control.batch_mpc import (admm_fixed,
+                                                       admm_fixed_kinv,
+                                                       make_kinv)
 from soft_robot_control_tpu.scp.gusto import (BETA_FAIL, CONVERGE, DELTA0,
                                               EPSILON, GAMMA_FAIL, OMEGA0,
                                               OMEGA_MAX, RHO)
@@ -56,13 +58,15 @@ class GuSTOJit:
                  delta0=DELTA0, omega0=OMEGA0, rho=RHO,
                  beta_fail=BETA_FAIL, gamma_fail=GAMMA_FAIL,
                  omega_max=OMEGA_MAX, epsilon=EPSILON,
-                 convg_thresh=CONVERGE, dtype=jnp.float64):
+                 convg_thresh=CONVERGE, x_step: str = "chol",
+                 dtype=jnp.float64):
         self.model = model
         self.N = int(N)
         self.dt = float(dt)
         self.dtype = dtype
         self.max_iters = int(max_iters)
         self.qp_iters = int(qp_iters)
+        self.x_step = x_step
         self.p = dict(delta0=delta0, omega0=omega0, rho=rho,
                       beta_fail=beta_fail, gamma_fail=gamma_fail,
                       omega_max=omega_max, epsilon=epsilon,
@@ -109,8 +113,13 @@ class GuSTOJit:
                 Hd=jnp.zeros((N + 1, n_z, n_x), self.dtype),
                 cd=jnp.zeros((N + 1, n_z), self.dtype))
             P, q, A, l, u_b, const = spec.assemble(params)
-            w, y = admm_fixed(P, q, A, l, u_b, warm[0], warm[1], rho_vec,
-                              qp_iters)
+            if self.x_step == "kinv":
+                Kinv = make_kinv(P, A, rho_vec)
+                w, y = admm_fixed_kinv(Kinv, q, A, l, u_b, warm[0], warm[1],
+                                       rho_vec, qp_iters)
+            else:
+                w, y = admm_fixed(P, q, A, l, u_b, warm[0], warm[1], rho_vec,
+                                  qp_iters)
             x_n = w[spec.off_x:spec.off_u].reshape(N + 1, n_x)
             u_n = w[spec.off_u:spec.off_u + N * n_u].reshape(N, n_u)
             J = 0.5 * w @ (P @ w) + q @ w + const

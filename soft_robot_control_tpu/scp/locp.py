@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from soft_robot_control_tpu.qp.admm import QPSolution, solve_qp_dense
+from soft_robot_control_tpu.qp.admm import solve_qp_dense
 
 
 class LOCPParams(NamedTuple):

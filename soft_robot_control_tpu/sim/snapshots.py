@@ -21,7 +21,6 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
-from soft_robot_control_tpu.core.packing import qv2x
 from soft_robot_control_tpu.sim.fem_surrogate import FEMSurrogate, simulate
 from soft_robot_control_tpu.utils.io import save_data
 

@@ -13,13 +13,12 @@ or a real log) and the fits run as least squares on device.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from soft_robot_control_tpu.core.packing import qv2x
 from soft_robot_control_tpu.sim.fem_surrogate import FEMSurrogate, simulate
 
 

@@ -8,7 +8,6 @@ cables, 6-dim tip output (position+velocity), ROM dims of O(10-40).
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
 
 from soft_robot_control_tpu.models.tpwl import TPWLModel
 from soft_robot_control_tpu.rom.pod import POD

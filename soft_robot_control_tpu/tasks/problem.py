@@ -7,8 +7,6 @@ options for one experiment, with the same checkDefinition validation hooks.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
-
 
 class Problem:
     def __init__(self):

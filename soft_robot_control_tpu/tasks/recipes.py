@@ -24,7 +24,7 @@ from soft_robot_control_tpu.models.tpwl import TPWLModel, from_tpwl_dict
 from soft_robot_control_tpu.rom import pod
 from soft_robot_control_tpu.sim.closed_loop import run_closed_loop
 from soft_robot_control_tpu.sim.fem_surrogate import simulate
-from soft_robot_control_tpu.utils.io import load_data, save_data
+from soft_robot_control_tpu.utils.io import save_data
 
 
 # ---------------------------------------------------------------------------

@@ -10,7 +10,7 @@ pkl->csv conversion of recorded simulations.
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -11,8 +11,6 @@ import ctypes
 import os
 import subprocess
 import threading
-from typing import Optional
-
 import numpy as np
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -21,6 +21,24 @@ def diamond(tmp_path_factory):
     return robot, save_dir
 
 
+def test_offline_pipeline_trunk(tmp_path):
+    """The same recipe API runs for the 8-cable Trunk robot."""
+    from soft_robot_control_tpu.robots import TrunkRobot
+
+    robot = TrunkRobot(n_nodes=10, seed=1)
+    robot.dt = 0.02
+    robot.sequences.dt = 0.02
+    d = str(tmp_path)
+    recipes.collect_pod_data(robot, d, nbr_samples=10, t_step=0.3, seed=5)
+    recipes.compute_pod_basis(d, pod_tolerance=1e-8, pod_type="v")
+    model = recipes.collect_tpwl_data(robot, d, threshold=0.4,
+                                      nbr_samples=10, seed=6)
+    assert model.input_dim == 8
+    check = recipes.tpwl_rollout_check(robot, d, nbr_samples=5, seed=7)
+    z_scale = np.var(check["z_true"] - check["z_true"][0]) + 1e-12
+    assert check["mse"] / z_scale < 0.5
+
+
 def test_offline_pipeline_recipes(diamond):
     robot, save_dir = diamond
     snap = recipes.collect_pod_data(robot, save_dir, nbr_samples=15,
