@@ -195,13 +195,15 @@ class LOCPSpec:
                 u[r:r + mdU] = db
 
         if self.X is not None and not self.nonlinear_observer:
+            # linear case: X is a polytope on the STATE x_k for k=1..N
+            # (locp.py:331-333); only the nonlinear-observer case routes the
+            # constraint through the output linearization
             XA, Xb = np.asarray(self.X.A), np.asarray(self.X.b)
             mX = XA.shape[0]
-            XAH = XA @ self.H
             for k in range(N):
                 r = self.r_X + k * mX
-                A[r:r + mX, (k + 1) * nx:(k + 2) * nx] = XAH
-                u[r:r + mX] = Xb - XA @ np.zeros(nz)  # c = 0 in linear case
+                A[r:r + mX, (k + 1) * nx:(k + 2) * nx] = XA
+                u[r:r + mX] = Xb
 
         if self.Xf is not None:
             XfA, Xfb = np.asarray(self.Xf.A), np.asarray(self.Xf.b)

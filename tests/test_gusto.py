@@ -137,3 +137,72 @@ def test_locp_warm_start_reuse():
     assert ok2
     x2, u2, _ = locp.get_solution()
     np.testing.assert_allclose(x2[0], x0 * 1.01, atol=1e-6)
+
+
+def test_locp_input_nullspace_penalty():
+    """The input-nullspace quadratic penalty (our QP-representable variant
+    of locp.py:259-261) drives u components in the nullspace toward zero."""
+    rng = np.random.default_rng(5)
+    N, nx, nu, nz = 3, 3, 2, 2
+    H = rng.normal(size=(nz, nx))
+    # nullspace direction: penalize u[0]+u[1]
+    Nu = np.array([[50.0, 50.0]])
+    spec_pen = LOCPSpec(N, H, np.eye(nz), 1e-3 * np.eye(nu),
+                        input_nullspace=Nu)
+    spec_free = LOCPSpec(N, H, np.eye(nz), 1e-3 * np.eye(nu))
+
+    Ad = np.tile(0.9 * np.eye(nx), (N, 1, 1))
+    Bd = np.tile(rng.normal(size=(nx, nu)), (N, 1, 1))
+    dd = np.zeros((N, nx))
+    x0 = rng.normal(size=nx)
+    xk = np.tile(x0, (N + 1, 1))
+    z = rng.normal(size=(N + 1, nz))
+
+    def solve(spec):
+        params = LOCPParams(
+            Ad=jnp.array(Ad), Bd=jnp.array(Bd), dd=jnp.array(dd),
+            x0=jnp.array(x0), xk=jnp.array(xk), delta=jnp.array(100.0),
+            omega=jnp.array(1.0), z=jnp.array(z), zf=jnp.zeros(nz),
+            u_des=jnp.zeros((N, nu)), Hd=jnp.zeros((N + 1, nz, nx)),
+            cd=jnp.zeros((N + 1, nz)))
+        P, q, A, l, u, _ = spec.assemble(params)
+        sol = solve_qp_dense(P, q, A, l, u)
+        return spec.split(np.asarray(sol.x))[1]
+
+    u_pen = solve(spec_pen)
+    u_free = solve(spec_free)
+    # nullspace component suppressed relative to the unpenalized solve
+    ns_pen = np.abs(u_pen.sum(axis=1)).mean()
+    ns_free = np.abs(u_free.sum(axis=1)).mean()
+    assert ns_pen < 0.2 * ns_free + 1e-9, (ns_pen, ns_free)
+
+
+def test_linear_mpc_state_constraints():
+    """X polytope constraints in the linear-MPC (tr-off) configuration
+    bound the planned outputs (diamond_rompc.py:90-145 usage)."""
+    from soft_robot_control_tpu.core.constraints import HyperRectangle
+
+    rng = np.random.default_rng(6)
+    N, nx, nu = 10, 4, 2
+    H = np.zeros((1, nx))
+    H[0, 0] = 1.0
+    A_sys = 0.95 * np.eye(nx) + 0.01 * rng.normal(size=(nx, nx))
+    B_sys = rng.normal(size=(nx, nu))
+    X = HyperRectangle(np.array([0.5, 10, 10, 10]),
+                       np.array([-0.5, -10, -10, -10]))
+    spec = LOCPSpec(N, H, 100 * np.eye(1), 1e-4 * np.eye(nu), X=X,
+                    is_tr_active=False)
+    params = LOCPParams(
+        Ad=jnp.array(np.tile(A_sys, (N, 1, 1))),
+        Bd=jnp.array(np.tile(B_sys, (N, 1, 1))), dd=jnp.zeros((N, nx)),
+        x0=jnp.zeros(nx), xk=jnp.zeros((N + 1, nx)), delta=jnp.array(0.0),
+        omega=jnp.array(0.0), z=jnp.full((N + 1, 1), 5.0),  # far target
+        zf=jnp.zeros(1), u_des=jnp.zeros((N, nu)),
+        Hd=jnp.zeros((N + 1, 1, nx)), cd=jnp.zeros((N + 1, 1)))
+    P, q, A, l, u, _ = spec.assemble(params)
+    sol = solve_qp_dense(P, q, A, l, u)
+    assert bool(sol.solved)
+    x_sol, _, _ = spec.split(np.asarray(sol.x))
+    # target is 5.0 but X caps x[0] at 0.5
+    assert np.max(x_sol[1:, 0]) <= 0.5 + 1e-6
+    assert np.max(x_sol[1:, 0]) > 0.45  # pushes against the bound
