@@ -132,3 +132,45 @@ def test_config3_gusto_mpc_closed_loop(pipeline):
     assert rel < 0.3, f"MPC tracking rel RMSE {rel:.3f}"
     # solver stayed healthy
     assert len(service.gusto.uopt) == N
+
+
+@pytest.mark.slow
+def test_config3_async_solver_overlap(pipeline):
+    """The wait=False path: solves run in a background thread while the
+    simulation executes the current plan (the reference's ROS-async
+    contract, scp/ros.py:183-210 / tpwl/controllers.py:263-274)."""
+    plant, rom, model, Hf, Cf, X, u_data = pipeline
+    dt = 0.02
+    model = model.pre_discretize(dt)
+    gusto_model = TPWLGuSTO(model)
+
+    z0 = float(X[0] @ Hf[0])
+    t_target = np.arange(0, 12, dt)
+    z_target = (z0 + 0.05 * np.sin(2 * np.pi * t_target / 4.0))[:, None]
+
+    N = 5
+    Qz = np.array([[200.0]])
+    R = 1e-3 * np.eye(plant.input_dim)
+    x0_red = np.asarray(rom.project_x(jnp.asarray(X[0])))
+    service = GuSTOService(gusto_model, N, dt * 2, Qz, R, x0_red,
+                           t=t_target, z=z_target, verbose=0,
+                           max_gusto_iters=3, convg_thresh=1e-2)
+    H = np.asarray(model.H)
+    cost = QuadraticCost(Q=H.T @ Qz @ H, R=1e-3 * np.eye(4))
+    dx_char = np.asarray(model.get_characteristic_dx(dt))
+    observer = DiscreteEKFObserver(model, W=np.diag(dx_char + 1e-8),
+                                   V=0.1 * np.eye(Cf.shape[0]))
+    controller = scp(model, cost, dt, N_replan=4, observer=observer,
+                     delay=0.2, wait=False, solver_service=service, mpc=True)
+
+    sim = run_closed_loop(plant, controller, sim_duration=4.0, dt=dt,
+                          measurement_model=_TipMeasurement(Cf),
+                          output_model=_TipOutput(Hf))
+    t_sim = sim["t"]
+    z_sim = sim["z"][:, 0]
+    z_des = np.interp(t_sim, t_target, z_target[:, 0])
+    mask = t_sim > 1.5
+    rel = np.sqrt(np.mean((z_sim[mask] - z_des[mask])**2)) / 0.05
+    assert rel < 0.4, f"async MPC rel RMSE {rel:.3f}"
+    # multiple async solves actually happened
+    assert len(controller.solve_times) >= 3

@@ -6,7 +6,7 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from soft_robot_control_tpu.core.constraints import HyperRectangle
+from soft_robot_control_tpu.core.constraints import HyperRectangle, Polyhedron
 from soft_robot_control_tpu.models.dubins import DubinsCar
 from soft_robot_control_tpu.scp.gusto import GuSTO
 from soft_robot_control_tpu.scp.locp import LOCP, LOCPSpec, LOCPParams
@@ -206,3 +206,25 @@ def test_linear_mpc_state_constraints():
     # target is 5.0 but X caps x[0] at 0.5
     assert np.max(x_sol[1:, 0]) <= 0.5 + 1e-6
     assert np.max(x_sol[1:, 0]) > 0.45  # pushes against the bound
+
+
+def test_gusto_qp_failure_returns_previous_iterate(capsys):
+    """Failure fallback (gusto.py:356-365 semantics): an infeasible LOCP
+    (contradictory dU bounds) must return the initial iterate unchanged
+    rather than raising."""
+    model = DubinsCar()
+    N, dt = 10, 0.1
+    Qz = np.eye(3)
+    R = np.eye(2)
+    # infeasible: du must be >= 1 and <= -1 simultaneously
+    dU = Polyhedron(np.array([[1.0, 0.0], [-1.0, 0.0]]),
+                    np.array([-1.0, -1.0]))
+    x0 = np.zeros(3)
+    u_init = np.zeros((N, 2))
+    x_init = np.asarray(model.rollout(x0, u_init, dt))
+    gusto = GuSTO(model, N, dt, Qz, R, x0, u_init, x_init,
+                  z=np.ones((N + 1, 3)), dU=dU, verbose=0, warm_start=True,
+                  max_gusto_iters=3)
+    x, u, z, _ = gusto.get_solution()
+    np.testing.assert_allclose(x, x_init, atol=1e-12)
+    np.testing.assert_allclose(u, u_init, atol=1e-12)

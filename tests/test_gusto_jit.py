@@ -81,3 +81,23 @@ def test_gusto_jit_batched_solves():
         d0 = np.linalg.norm(targets[b])
         d1 = np.linalg.norm(x[b, -1, :2] - targets[b])
         assert d1 < 0.5 * d0, (b, d0, d1)
+
+
+def test_gusto_jit_state_constraints():
+    """X polytope keeps the device-GuSTO trajectory inside the box."""
+    N, dt = 25, 0.1
+    model = DubinsCar()
+    Qz = np.diag([1.0, 1.0, 0.0])
+    R = 0.05 * np.eye(2)
+    U = HyperRectangle(np.array([1.0, 1.0]), np.array([0.0, -1.0]))
+    X = HyperRectangle(np.array([0.6, 10.0, 10.0]),
+                       np.array([-10.0, -10.0, -10.0]))
+    z_tgt = np.tile(np.array([2.0, 0.5, 0.0]), (N + 1, 1))  # x-target beyond the box
+    x0 = np.zeros(3)
+    u_init = np.zeros((N, 2))
+    x_init = np.asarray(model.rollout(x0, u_init, dt))
+    dev = GuSTOJit(model, N, dt, Qz, R, U=U, X=X, max_iters=20, qp_iters=400)
+    res = dev.solve(x0, u_init, x_init, z_tgt)
+    x = np.asarray(res.x)
+    assert np.max(x[1:, 0]) <= 0.6 + 5e-3, np.max(x[1:, 0])
+    assert np.max(x[1:, 0]) > 0.4  # pushes toward the bound

@@ -185,3 +185,29 @@ def test_rompc_closed_loop(pipeline):
     final = np.mean(z_sim[-60:]) - z0
     assert abs(final - 0.03) < 0.005, final
     assert np.std(z_sim[-60:]) < 0.005
+
+
+def test_koopman_offline_data_roundtrip(koopman_model, tmp_path):
+    """KoopmanOfflineData bulk zeta computation (koopman_utils.py:50-84)
+    agrees with the online delay buffer."""
+    from soft_robot_control_tpu.models.koopman import KoopmanOfflineData
+    from soft_robot_control_tpu.utils.io import save_data
+
+    km = koopman_model
+    rng = np.random.default_rng(4)
+    T = 20
+    data = {"t": 0.05 * np.arange(T), "z": rng.normal(size=(T, 3)),
+            "u": rng.normal(size=(T, 4))}
+    path = str(tmp_path / "run_sim.pkl")
+    save_data(path, data)
+
+    off = KoopmanOfflineData(km.scale, km.delays)
+    off.load_offline_data(path)
+    off.add_zeta_offline()
+    assert off.zeta.shape == (T - km.delays, km.state_dim)
+
+    # online buffer gives the same zeta at the final step
+    online = KoopmanData(km.scale, km.delays)
+    for y, u in zip(data["z"], data["u"]):
+        online.add_measurement(y, u)
+    np.testing.assert_allclose(off.zeta[-1], online.get_zeta(), atol=1e-12)

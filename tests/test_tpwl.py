@@ -191,3 +191,40 @@ def test_offline_pipeline_builds_accurate_tpwl(pipeline):
     sparse_err, sparse_P = rel_mse(3.0)
     assert sparse_P < dense_P
     assert sparse_err < 0.2, f"sparse TPWL inaccurate: rel mse {sparse_err:.3g}"
+
+
+def test_weighting_mode_rollout():
+    """Exponential-weighting TPWL rollout under scan matches a numpy oracle
+    (tpwl.py:244-250 + 170-191 semantics)."""
+    model = _random_tpwl(beta=3.0, tpwl_method="weighting")
+    rng = np.random.default_rng(21)
+    x0 = rng.normal(size=model.state_dim) * 0.5
+    u = rng.normal(size=(20, model.input_dim))
+    dt = 0.05
+
+    x_jax = np.asarray(tpwl_mod.rollout(model, jnp.array(x0), jnp.array(u), dt))
+
+    # numpy oracle
+    A_c = np.asarray(model.A_c)
+    B_c = np.asarray(model.B_c)
+    d_c = np.asarray(model.d_c)
+    q_pts, v_pts = np.asarray(model.q), np.asarray(model.v)
+    x = np.zeros((21, model.state_dim))
+    x[0] = x0
+    n = model.state_dim // 2
+    for i in range(20):
+        q, v = x[i, n:], x[i, :n]
+        dist = (10.0 * np.linalg.norm(q_pts - q, axis=1)
+                + 1.0 * np.linalg.norm(v_pts - v, axis=1))
+        w = np.exp(-3.0 * dist / dist.min())
+        w /= w.sum()
+        A = np.einsum("i,ijk->jk", w, A_c)
+        B = np.einsum("i,ijk->jk", w, B_c)
+        d = np.einsum("i,ij->j", w, d_c)
+        # use the module's own discretizer per step (already tested against
+        # scipy) to isolate the weighting logic under test
+        from soft_robot_control_tpu.core import discretize as disc_mod
+        Ad, Bd, dd = [np.asarray(v_) for v_ in disc_mod.zoh_affine(
+            jnp.array(A), jnp.array(B), jnp.array(d), dt)]
+        x[i + 1] = Ad @ x[i] + Bd @ u[i] + dd
+    np.testing.assert_allclose(x_jax, x, atol=1e-8)
