@@ -64,7 +64,10 @@ def main():
     # factorize + ADMM solve) + N_replan EKF/feedback/plant ticks.
     # Primary number: per-window cost with the control loop resident on
     # device (50 windows in one program — the production serving mode).
-    # Secondary: cold single-call latency including host round trip.
+    # Secondary: per-call time issuing one window per dispatch (pipelined;
+    # NB this dev environment reaches the TPU through a ~25 ms-RTT tunnel,
+    # so true blocking single-call latency is RTT-dominated — see
+    # examples/realtime_mpc_tpu.py for the RTT-separated measurement).
     n_win = 50
     run50 = jax.jit(mpc.build(n_win))
     zt50 = demo_targets(model, n_win, N_replan, N, dt, batch=1)[0]
@@ -128,7 +131,7 @@ def main():
         # north star: < 2 ms per MPC step (BASELINE.md); >1 means target met
         "vs_baseline": round(2.0 / mpc_ms, 3),
         "extra": {
-            "mpc_step_ms_single_call": round(mpc_single_ms, 4),
+            "mpc_step_ms_single_call_pipelined": round(mpc_single_ms, 4),
             "tpwl_rollouts_per_sec_1024way": round(rollouts_per_sec, 1),
             "batched_mpc_windows_per_sec_1024way": round(batch_mpc_steps_per_sec, 1),
             "batched_full_gusto_solves_per_sec_64way": round(gusto_solves_per_sec, 1),

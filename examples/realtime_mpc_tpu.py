@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Real-time MPC serving demo on TPU: run the fully-jitted GuSTO MPC
+controller in a paced 50 Hz loop and report the deadline margin.
+
+The whole controller (EKF + linearize + QP assemble + Pallas-ADMM solve +
+feedback) executes on device each tick-window; the host only paces and logs.
+
+    python examples/realtime_mpc_tpu.py [--hz 50] [--seconds 5]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--hz", type=float, default=50.0)
+    p.add_argument("--seconds", type=float, default=5.0)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from soft_robot_control_tpu.control.batch_mpc import BatchMPC
+    from soft_robot_control_tpu.tasks.demo import demo_targets, make_demo_tpwl
+
+    dtype = jnp.float32
+    model = make_demo_tpwl(r=21, P=64, m=4, nz=6, nf=64, dtype=np.float32)
+    dt = 1.0 / args.hz
+    mpc = BatchMPC(model, 100.0 * np.eye(6), 1e-3 * np.eye(4), N=5, dt=dt,
+                   N_replan=1, qp_iters=50, use_pallas=True, dtype=dtype,
+                   W=1e-2 * np.eye(model.state_dim),
+                   V=1e-4 * np.eye(model.C.shape[0]))
+    step = jax.jit(mpc.build(1))
+
+    n_steps = int(args.seconds * args.hz)
+    zt = demo_targets(model, 1, 1, 5, dt, batch=1)[0]
+    x0 = jnp.zeros(model.state_dim, dtype)
+    key = jax.random.PRNGKey(0)
+    # warm up / compile
+    jax.block_until_ready(step(x0, x0, jnp.asarray(zt, dtype), key))
+
+    # -- baseline: host<->device round-trip of a trivial op. In this dev
+    # environment the TPU sits behind a network tunnel with ~25 ms RTT;
+    # production hosts attached locally see sub-ms dispatch. The controller
+    # compute is (total - RTT).
+    tiny = jax.jit(lambda x: x * 2)
+    jax.block_until_ready(tiny(x0))
+    rtt = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        jax.block_until_ready(tiny(x0))
+        rtt.append(time.perf_counter() - t0)
+    rtt_ms = 1e3 * float(np.median(rtt))
+
+    period = 1.0 / args.hz
+    lat = []
+    misses = 0
+    t_next = time.perf_counter()
+    zt_d = jnp.asarray(zt, dtype)
+    for i in range(n_steps):
+        t0 = time.perf_counter()
+        out = step(x0, x0, zt_d, key)
+        jax.block_until_ready(out)
+        dt_step = time.perf_counter() - t0
+        lat.append(dt_step)
+        if dt_step - 1e-3 * rtt_ms > period:
+            misses += 1
+        t_next += period
+        sleep = t_next - time.perf_counter()
+        if sleep > 0:
+            time.sleep(sleep)
+
+    lat = 1e3 * np.asarray(lat)
+    print(f"{args.hz:.0f} Hz loop, {n_steps} MPC steps on {jax.devices()[0]}")
+    print(f"host round-trip baseline (trivial op): {rtt_ms:.2f} ms")
+    print(f"total latency ms: min {lat.min():.2f} / mean {lat.mean():.2f} / "
+          f"p99 {np.percentile(lat, 99):.2f}")
+    net = lat - rtt_ms
+    print(f"controller compute (total - RTT): mean {net.mean():.2f} ms / "
+          f"p99 {np.percentile(net, 99):.2f} ms")
+    print(f"deadline {1e3 * period:.1f} ms, compute-budget misses: "
+          f"{misses}/{n_steps}")
+    print("note: for a hard real-time loop, keep the whole control loop "
+          "resident on device (BatchMPC.build(n_windows) scans windows "
+          "without host round trips — see bench.py section 1).")
+
+
+if __name__ == "__main__":
+    main()
