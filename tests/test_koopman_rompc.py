@@ -211,3 +211,34 @@ def test_koopman_offline_data_roundtrip(koopman_model, tmp_path):
     for y, u in zip(data["z"], data["u"]):
         online.add_measurement(y, u)
     np.testing.assert_allclose(off.zeta[-1], online.get_zeta(), atol=1e-12)
+
+
+def test_linear_mpc_on_reference_koopman_artifact(koopman_model):
+    """Plumbing at real scale: the 66-dim lifted LTI model from the shipped
+    koopman_model.mat drives a full linear-MPC solve (the run_koopman
+    configuration, diamond_koopman.py:90-145), and the plan's lifted state
+    respects the trained dynamics."""
+    km = koopman_model
+    dt = km.Ts
+    N = 10
+    # setpoint in scaled output coordinates: small offset from current
+    target = Target(t=np.arange(0, 5, dt),
+                    z=np.full((int(5 / dt), km.n), 0.1))
+    svc = LinearMPCService(km, N, dt,
+                           QuadraticCost(Q=10.0 * np.eye(km.n),
+                                         R=1e-2 * np.eye(km.m)),
+                           target, max_iter=2000)
+    # initial lifted state: the lift of a zero measurement history
+    zeta0 = np.zeros(km.state_dim)
+    x0 = np.asarray(km.W) @ np.asarray(km.lift_data(*zeta0))
+    svc.send_request(0.0, x0, wait=True)
+    t, u, x, _ = svc.get_solution()
+    assert np.all(np.isfinite(u)) and np.all(np.isfinite(x))
+    # plan satisfies the trained lifted dynamics
+    for k in range(N):
+        np.testing.assert_allclose(
+            x[k + 1], km.A_d @ x[k] + km.B_d @ u[k], atol=1e-5)
+    # output moves toward the setpoint over the horizon
+    y0 = km.C @ x[0]
+    yN = km.C @ x[-1]
+    assert np.linalg.norm(yN - 0.1) < np.linalg.norm(y0 - 0.1)
