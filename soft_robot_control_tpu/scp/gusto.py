@@ -97,10 +97,25 @@ class GuSTO:
 
         self.nonlinear_observer = bool(getattr(model, "nonlinear_observer", False))
 
-        self.locp = LOCP(N, np.asarray(model.H), Qz, R, Qzf=Qzf, U=U, X=X,
-                         Xf=Xf, dU=dU, verbose=(verbose == 2),
-                         warm_start=warm_start, x_char=self.x_char,
-                         nonlinear_observer=self.nonlinear_observer, **kwargs)
+        locp_backend = kwargs.pop("locp_backend", "dense")
+        if locp_backend == "stage":
+            # block-sparse long-horizon backend (scp/locp_stages.py); only
+            # the linear-observer path is stage-structured
+            if self.nonlinear_observer or Qzf is not None or Xf is not None:
+                raise NotImplementedError(
+                    "stage backend supports the linear-observer LOCP "
+                    "without terminal cost/set")
+            from soft_robot_control_tpu.scp.locp_stages import StageLOCPAdapter
+
+            self.locp = StageLOCPAdapter(N, np.asarray(model.H), Qz, R, U=U,
+                                         X=X, dU=dU, x_char=self.x_char,
+                                         **kwargs)
+        else:
+            self.locp = LOCP(N, np.asarray(model.H), Qz, R, Qzf=Qzf, U=U, X=X,
+                             Xf=Xf, dU=dU, verbose=(verbose == 2),
+                             warm_start=warm_start, x_char=self.x_char,
+                             nonlinear_observer=self.nonlinear_observer,
+                             **kwargs)
 
         # vmapped trajectory linearizations (gusto.py:225-281, loop-free)
         self._traj_dyn = jax.jit(jax.vmap(

@@ -28,10 +28,19 @@ from soft_robot_control_tpu.qp.structured import btd_factor, btd_solve
 
 
 class StageLOCP:
-    """Stage-structured LOCP (trust region off)."""
+    """Stage-structured LOCP.
+
+    With trust_region=True the per-stage slack s_k is appended to the stage
+    block ([x_k, u_k, s_k]); the TR rows +-x_scale (x_k - xbar_k) - s_k <=
+    delta contribute 2 rho xs^2 to the x-diagonal and 3 rho to the s
+    diagonal (TR pair + positivity), with zero x-s cross coupling (the +-
+    pair cancels) — the block-tridiagonal structure is preserved, which is
+    what makes full long-horizon GuSTO (SURVEY hard part #1/#2 at N=200)
+    tractable."""
 
     def __init__(self, N, H, Qz, R, U=None, dU=None, X=None, rho: float = 0.1,
-                 sigma: float = 1e-6, dtype=jnp.float64):
+                 sigma: float = 1e-6, trust_region: bool = False,
+                 x_char=None, dtype=jnp.float64):
         self.N = int(N)
         self.H = np.asarray(H, float)
         self.Qz = np.asarray(Qz, float)
@@ -42,16 +51,26 @@ class StageLOCP:
         self.U, self.dU, self.X = U, dU, X
         self.sigma = float(sigma)
         self.dtype = dtype
+        self.tr = bool(trust_region)
+        self.x_scale = np.ones(self.n_x) if x_char is None \
+            else 1.0 / np.abs(np.asarray(x_char, float))
         nx, nu, N_ = self.n_x, self.n_u, self.N
-        self.nb = nx + nu
-        self.n_var = (N_ + 1) * nx + N_ * nu
+        self.ns = 1 if self.tr else 0
+        self.nb = nx + nu + self.ns
+        self.n_var = (N_ + 1) * nx + N_ * nu + (N_ + 1) * self.ns
 
-        # row layout (same ordering as LOCPSpec tr-off)
+        # row layout (same ordering as LOCPSpec: init, dyn, [tr, s>=0],
+        # U, dU, X)
         rows = 0
         self.r_init = rows
         rows += nx
         self.r_dyn = rows
         rows += N_ * nx
+        if self.tr:
+            self.r_tr = rows
+            rows += 2 * nx * (N_ + 1)
+            self.r_s = rows
+            rows += N_ + 1
         self.mU = 0 if U is None else np.asarray(U.A).shape[0]
         if U is not None:
             self.r_U = rows
@@ -77,20 +96,31 @@ class StageLOCP:
     def split(self, w):
         nx, nu, N = self.n_x, self.n_u, self.N
         x = w[:(N + 1) * nx].reshape(N + 1, nx)
-        u = w[(N + 1) * nx:].reshape(N, nu)
-        return x, u
+        u = w[(N + 1) * nx:(N + 1) * nx + N * nu].reshape(N, nu)
+        s = w[(N + 1) * nx + N * nu:] if self.tr else None
+        return x, u, s
 
-    def join(self, x, u):
-        return jnp.concatenate([x.reshape(-1), u.reshape(-1)])
+    def join(self, x, u, s=None):
+        parts = [x.reshape(-1), u.reshape(-1)]
+        if self.tr:
+            parts.append(jnp.zeros(self.N + 1, self.dtype) if s is None
+                         else s.reshape(-1))
+        return jnp.concatenate(parts)
 
     # -- matrix-free constraint application ---------------------------------
     def A_mv(self, Ad, Bd, w):
         """A @ w without materializing A."""
-        x, u = self.split(w)
+        x, u, sl = self.split(w)
         parts = [x[0]]
         dyn = x[1:] - jnp.einsum("kij,kj->ki", Ad, x[:-1]) \
             - jnp.einsum("kij,kj->ki", Bd, u)
         parts.append(dyn.reshape(-1))
+        if self.tr:
+            xs = jnp.asarray(self.x_scale, self.dtype)
+            plus = xs[None, :] * x - sl[:, None]
+            minus = -xs[None, :] * x - sl[:, None]
+            parts.append(jnp.stack([plus, minus], axis=1).reshape(-1))
+            parts.append(sl)
         if self.U is not None:
             UA = jnp.asarray(np.asarray(self.U.A), self.dtype)
             parts.append(jnp.einsum("ci,ki->kc", UA, u).reshape(-1))
@@ -107,12 +137,20 @@ class StageLOCP:
         nx, nu, N = self.n_x, self.n_u, self.N
         x_out = jnp.zeros((N + 1, nx), self.dtype)
         u_out = jnp.zeros((N, nu), self.dtype)
+        s_out = jnp.zeros(N + 1, self.dtype) if self.tr else None
         v_init = v[self.r_init:self.r_init + nx]
         x_out = x_out.at[0].add(v_init)
         v_dyn = v[self.r_dyn:self.r_dyn + N * nx].reshape(N, nx)
         x_out = x_out.at[1:].add(v_dyn)
         x_out = x_out.at[:-1].add(-jnp.einsum("kij,ki->kj", Ad, v_dyn))
         u_out = u_out + (-jnp.einsum("kij,ki->kj", Bd, v_dyn))
+        if self.tr:
+            xs = jnp.asarray(self.x_scale, self.dtype)
+            v_tr = v[self.r_tr:self.r_tr + 2 * nx * (N + 1)].reshape(
+                N + 1, 2, nx)
+            x_out = x_out + xs[None, :] * (v_tr[:, 0] - v_tr[:, 1])
+            s_out = s_out - jnp.sum(v_tr[:, 0] + v_tr[:, 1], axis=1)
+            s_out = s_out + v[self.r_s:self.r_s + N + 1]
         if self.U is not None:
             UA = jnp.asarray(np.asarray(self.U.A), self.dtype)
             v_U = v[self.r_U:self.r_U + N * self.mU].reshape(N, self.mU)
@@ -128,14 +166,23 @@ class StageLOCP:
             XA = jnp.asarray(np.asarray(self.X.A), self.dtype)
             v_X = v[self.r_X:self.r_X + N * self.mX].reshape(N, self.mX)
             x_out = x_out.at[1:].add(jnp.einsum("ci,kc->ki", XA, v_X))
-        return self.join(x_out, u_out)
+        return self.join(x_out, u_out, s_out)
 
     # -- bounds + linear objective -------------------------------------------
-    def bounds(self, x0, dd):
+    def bounds(self, x0, dd, delta=None, xk=None):
         N, nx = self.N, self.n_x
         inf = jnp.asarray(jnp.inf, self.dtype)
         l = [x0, dd.reshape(-1)]
         u = [x0, dd.reshape(-1)]
+        if self.tr:
+            xs = jnp.asarray(self.x_scale, self.dtype)
+            hi = delta + xs[None, :] * xk
+            lo = delta - xs[None, :] * xk
+            tr_u = jnp.stack([hi, lo], axis=1).reshape(-1)
+            l.append(jnp.full(2 * nx * (N + 1), -inf))
+            u.append(tr_u)
+            l.append(jnp.zeros(N + 1, self.dtype))
+            u.append(jnp.full(N + 1, inf))
         if self.U is not None:
             Ub = jnp.asarray(np.asarray(self.U.b), self.dtype)
             l.append(jnp.full(N * self.mU, -inf))
@@ -152,19 +199,24 @@ class StageLOCP:
 
     def P_mv(self, w):
         """P @ w (cvxpy-convention factor 2) without materializing P."""
-        x, u = self.split(w)
+        x, u, sl = self.split(w)
         HQH = jnp.asarray(2.0 * self.H.T @ self.Qz @ self.H, self.dtype)
         R2 = jnp.asarray(2.0 * self.R, self.dtype)
         return self.join(jnp.einsum("ij,kj->ki", HQH, x),
-                         jnp.einsum("ij,kj->ki", R2, u))
+                         jnp.einsum("ij,kj->ki", R2, u),
+                         None if sl is None else jnp.zeros_like(sl))
 
-    def q_vec(self, z, u_des):
+    def q_vec(self, z, u_des, omega=None):
         q_x = -2.0 * jnp.einsum("kz,zw,wi->ki", z,
                                 jnp.asarray(self.Qz, self.dtype),
                                 jnp.asarray(self.H, self.dtype))
         q_u = -2.0 * jnp.einsum("kz,zw->kw", u_des,
                                 jnp.asarray(self.R, self.dtype))
-        return self.join(q_x, q_u)
+        q_s = None
+        if self.tr:
+            om = jnp.asarray(0.0 if omega is None else omega, self.dtype)
+            q_s = jnp.full(self.N + 1, om, self.dtype)
+        return self.join(q_x, q_u, q_s)
 
     # -- block-tridiagonal K assembly -----------------------------------------
     def K_blocks(self, Ad, Bd):
@@ -184,21 +236,33 @@ class StageLOCP:
         XtX = (jnp.asarray(r_in * np.asarray(self.X.A).T @ np.asarray(self.X.A), dt)
                if self.X is not None else jnp.zeros((nx, nx), dt))
 
+        # trust-region contributions (inequality rho): per state dim the +-
+        # row pair gives 2 rho xs_i^2 on the x diagonal; s_k appears with
+        # coefficient -1 in all 2 nx TR rows (=> 2 nx rho on its diagonal)
+        # and +1 in its positivity row (+rho); the (x, s) cross terms cancel
+        # pairwise; sigma regularizes the s slot too
+        xs2 = jnp.asarray(2.0 * r_in * self.x_scale**2, dt) if self.tr else None
+        s_diag = (2.0 * nx * r_in + r_in + self.sigma) if self.tr else 1.0
+
         def stage(k, A_k, B_k):
-            # diagonal block for stage k (x_k, u_k)
+            # diagonal block for stage k (x_k, u_k[, s_k])
             Dxx = HQH + r_eq * jnp.einsum("ij,ik->jk", A_k, A_k)
             Dxx = Dxx + jnp.where(k == 0, r_eq, 0.0) * jnp.eye(nx, dtype=dt)
             Dxx = Dxx + jnp.where(k > 0, 1.0, 0.0) * (
                 r_eq * jnp.eye(nx, dtype=dt) + XtX)  # from dynamics row k-1 (+I) and X row k-1
+            if self.tr:
+                Dxx = Dxx + jnp.diag(xs2)
             Duu = R2 + r_eq * jnp.einsum("ij,ik->jk", B_k, B_k) + UtU
             Duu = Duu + dtd * jnp.where((k > 0) & (k < N), 1.0, 0.0) \
                 + dtd * jnp.where(k < N - 1, 1.0, 0.0)
             Dxu = r_eq * jnp.einsum("ij,ik->jk", A_k, B_k)
             D = jnp.zeros((nb, nb), dt)
             D = D.at[:nx, :nx].set(Dxx)
-            D = D.at[nx:, nx:].set(Duu)
-            D = D.at[:nx, nx:].set(Dxu)
-            D = D.at[nx:, :nx].set(Dxu.T)
+            D = D.at[nx:nx + nu, nx:nx + nu].set(Duu)
+            D = D.at[:nx, nx:nx + nu].set(Dxu)
+            D = D.at[nx:nx + nu, :nx].set(Dxu.T)
+            if self.tr:
+                D = D.at[nx + nu, nx + nu].set(s_diag)
             return D
 
         ks = jnp.arange(N)
@@ -207,47 +271,57 @@ class StageLOCP:
         # lower off-diagonal block L_k: coupling of stage k+1 rows with
         # stage k columns. From dynamics row k: (+I on x_{k+1}) x (-A_k on
         # x_k, -B_k on u_k) => [-rho_eq A_k, -rho_eq B_k] in the x rows; from
-        # dU row k: u_{k+1} x u_k cross -dtd.
+        # dU row k: u_{k+1} x u_k cross -dtd. TR slack couples only within
+        # its own stage: no off-diagonal s terms.
         def off(k, A_k, B_k):
             L = jnp.zeros((nb, nb), dt)
             L = L.at[:nx, :nx].set(-r_eq * A_k)
-            L = L.at[:nx, nx:].set(-r_eq * B_k)
-            L = L.at[nx:, nx:].set(-dtd * jnp.where(k < N - 1, 1.0, 0.0))
+            L = L.at[:nx, nx:nx + nu].set(-r_eq * B_k)
+            L = L.at[nx:nx + nu, nx:nx + nu].set(
+                -dtd * jnp.where(k < N - 1, 1.0, 0.0))
             return L
 
         lower = jax.vmap(off)(ks, Ad, Bd)
 
-        # final stage block: x_N only (identity-padded)
+        # final stage block: x_N (+ s_N) with identity padding on the u slot
         DxxN = HQH + r_eq * jnp.eye(nx, dtype=dt) + XtX
+        if self.tr:
+            DxxN = DxxN + jnp.diag(xs2)
         DN = jnp.eye(nb, dtype=dt)
         DN = DN.at[:nx, :nx].set(DxxN)
+        if self.tr:
+            DN = DN.at[nx + nu, nx + nu].set(s_diag)
         diag = jnp.concatenate([diag, DN[None]], axis=0)
-        # off-diagonal between stage N-1 and N comes from dynamics row N-1:
-        # already encoded in lower[N-1]'s x-row part; pad the u-cross to 0
+        # off-diagonal between stage N-1 and N comes from dynamics row N-1
         lowN = jnp.zeros((nb, nb), dt)
         lowN = lowN.at[:nx, :nx].set(-r_eq * Ad[N - 1])
-        lowN = lowN.at[:nx, nx:].set(-r_eq * Bd[N - 1])
+        lowN = lowN.at[:nx, nx:nx + nu].set(-r_eq * Bd[N - 1])
         lower = jnp.concatenate([lower[:-1], lowN[None]], axis=0)
         return diag, lower
 
     # -- interleave/deinterleave ----------------------------------------------
     def to_stages(self, w):
-        nx, nu, nb, N = self.n_x, self.n_u, self.nb, self.N
-        x, u = self.split(w)
-        blocks = jnp.concatenate([x[:-1], u], axis=1)      # (N, nb)
-        last = jnp.concatenate([x[-1], jnp.zeros(nu, self.dtype)])
-        return jnp.concatenate([blocks, last[None]], axis=0)
+        nx, nu, N = self.n_x, self.n_u, self.N
+        x, u, sl = self.split(w)
+        u_ext = jnp.concatenate([u, jnp.zeros((1, nu), self.dtype)], axis=0)
+        cols = [x, u_ext]
+        if self.tr:
+            cols.append(sl[:, None])
+        return jnp.concatenate(cols, axis=1)               # (N+1, nb)
 
     def from_stages(self, blocks):
         nx, nu, N = self.n_x, self.n_u, self.N
-        x = jnp.concatenate([blocks[:-1, :nx], blocks[-1:, :nx]], axis=0)
-        u = blocks[:-1, nx:]
-        return self.join(x, u)
+        x = blocks[:, :nx]
+        u = blocks[:-1, nx:nx + nu]
+        s = blocks[:, nx + nu] if self.tr else None
+        return self.join(x, u, s)
 
     # -- full solve -------------------------------------------------------------
     def solve(self, Ad, Bd, dd, x0, z, u_des=None, iters: int = 200,
-              alpha: float = 1.6, w0=None, y0=None):
-        """Fixed-iteration ADMM, matrix-free + structured x-step."""
+              alpha: float = 1.6, w0=None, y0=None, delta=None, omega=None,
+              xk=None):
+        """Fixed-iteration ADMM, matrix-free + structured x-step. With
+        trust_region=True, (delta, omega, xk) parameterize the TR."""
         dt = self.dtype
         Ad = jnp.asarray(Ad, dt)
         Bd = jnp.asarray(Bd, dt)
@@ -256,8 +330,12 @@ class StageLOCP:
         z = jnp.asarray(z, dt)
         u_des = (jnp.zeros((self.N, self.n_u), dt) if u_des is None
                  else jnp.asarray(u_des, dt))
-        q = self.q_vec(z, u_des)
-        l, u_b = self.bounds(x0, dd)
+        if self.tr:
+            delta = jnp.asarray(delta, dt)
+            omega = jnp.asarray(omega, dt)
+            xk = jnp.asarray(xk, dt)
+        q = self.q_vec(z, u_des, omega=omega)
+        l, u_b = self.bounds(x0, dd, delta=delta, xk=xk)
         rho = self.rho_vec
         sigma = self.sigma
 
@@ -282,3 +360,73 @@ class StageLOCP:
 
         w, zc, y = jax.lax.fori_loop(0, iters, body, (w, zc, y))
         return w, y
+
+
+class StageLOCPAdapter:
+    """LOCP-compatible wrapper (update/solve/get_solution,
+    scp/locp.py:98-203 contract) over StageLOCP, so the host GuSTO loop can
+    run long-horizon problems without dense assembly."""
+
+    def __init__(self, N, H, Qz, R, U=None, X=None, dU=None, x_char=None,
+                 iters: int = 400, dtype=jnp.float64, **_ignored):
+        self.stage = StageLOCP(N, H, Qz, R, U=U, dU=dU, X=X,
+                               trust_region=True, x_char=x_char, dtype=dtype)
+        self.iters = int(iters)
+        self._w = None
+        self._y = None
+        self._params = None
+        self.solve_time = 0.0
+
+        st = self.stage
+
+        def _solve(Ad, Bd, dd, x0, xk, delta, omega, z, u_des, w0, y0):
+            w, y = st.solve(Ad, Bd, dd, x0, z, u_des=u_des, iters=self.iters,
+                            w0=w0, y0=y0, delta=delta, omega=omega, xk=xk)
+            # objective (cvxpy convention incl. constants) and residuals
+            q = st.q_vec(z, u_des, omega=omega)
+            Qzj = jnp.asarray(st.Qz, st.dtype)
+            Rj = jnp.asarray(st.R, st.dtype)
+            const = jnp.sum(jnp.einsum("kz,zw,kw->k", z, Qzj, z)) \
+                + jnp.sum(u_des @ Rj * u_des)
+            J = 0.5 * w @ st.P_mv(w) + q @ w + const
+            l, u_b = st.bounds(x0, dd, delta=delta, xk=xk)
+            Aw = st.A_mv(Ad, Bd, w)
+            pri = jnp.maximum(jnp.max(Aw - u_b), jnp.max(l - Aw))
+            pri = jnp.maximum(pri, 0.0)
+            dua = jnp.max(jnp.abs(st.P_mv(w) + q + st.At_mv(Ad, Bd, y)))
+            return w, y, J, pri, dua
+
+        self._solve_jit = jax.jit(_solve)
+
+    def update(self, Ad, Bd, dd, x0, xk, delta, omega, z=None, zf=None,
+               u=None, full=True, Hd=None, cd=None):
+        st = self.stage
+        dt = st.dtype
+        z = (jnp.zeros((st.N + 1, st.n_z), dt) if z is None
+             else jnp.asarray(z, dt))
+        u_des = (jnp.zeros((st.N, st.n_u), dt) if u is None
+                 else jnp.asarray(u, dt))
+        self._params = (jnp.asarray(Ad, dt), jnp.asarray(Bd, dt),
+                        jnp.asarray(np.asarray(dd).reshape(st.N, st.n_x), dt),
+                        jnp.asarray(x0, dt), jnp.asarray(xk, dt),
+                        jnp.asarray(delta, dt), jnp.asarray(omega, dt),
+                        z, u_des)
+
+    def solve(self):
+        import time
+
+        t0 = time.time()
+        st = self.stage
+        w0 = (jnp.zeros(st.n_var, st.dtype) if self._w is None else self._w)
+        y0 = (jnp.zeros(st.n_con, st.dtype) if self._y is None else self._y)
+        w, y, J, pri, dua = self._solve_jit(*self._params, w0, y0)
+        w = w.block_until_ready()
+        self.solve_time = time.time() - t0
+        self._w, self._y = w, y
+        # 'solved inaccurate' acceptance (fixed-iteration ADMM)
+        success = float(pri) < 1e-4 and float(dua) < 1e-3
+        return (float(J), True, self) if success else (np.inf, False, None)
+
+    def get_solution(self):
+        x, u, s = self.stage.split(np.asarray(self._w))
+        return np.asarray(x), np.asarray(u), np.asarray(s)

@@ -118,7 +118,7 @@ def test_stage_locp_long_horizon_diamond_scale():
 
     stage = StageLOCP(N, H, Qz, R, U=U)
     w, y = stage.solve(Ad, Bd, dd, x0, z, iters=300)
-    x_sol, u_sol = [np.asarray(a) for a in stage.split(w)]
+    x_sol, u_sol = [np.asarray(a) for a in stage.split(w)[:2]]
     assert np.all(np.isfinite(x_sol))
     np.testing.assert_allclose(x_sol[0], x0, atol=1e-5)
     for k in range(0, N, 37):
@@ -126,3 +126,127 @@ def test_stage_locp_long_horizon_diamond_scale():
             x_sol[k + 1], Ad[k] @ x_sol[k] + Bd[k] @ u_sol[k] + dd[k],
             atol=1e-4)
     assert np.all(u_sol >= -1e-5) and np.all(u_sol <= 1 + 1e-5)
+
+
+def test_stage_locp_trust_region_matches_dense():
+    """TR-on agreement: the slack-extended stage blocks reproduce the dense
+    LOCPSpec (is_tr_active=True) ADMM solution exactly."""
+    N, nx, nu, nz = 6, 4, 2, 2
+    H, Qz, R, U, dU, X, Ad, Bd, dd, x0, z = _problem(N=N, nx=nx, nu=nu,
+                                                     with_sets=True, seed=4)
+    x_char = np.abs(np.random.default_rng(5).normal(size=nx)) + 0.5
+    dense = LOCPSpec(N, H, Qz, R, U=U, dU=dU, X=X, is_tr_active=True,
+                     x_char=x_char)
+    rng = np.random.default_rng(6)
+    xk = 0.2 * rng.normal(size=(N + 1, nx))
+    delta, omega = 0.8, 2.0
+    params = LOCPParams(
+        Ad=jnp.array(Ad), Bd=jnp.array(Bd), dd=jnp.array(dd),
+        x0=jnp.array(x0), xk=jnp.array(xk), delta=jnp.array(delta),
+        omega=jnp.array(omega), z=jnp.array(z), zf=jnp.zeros(nz),
+        u_des=jnp.zeros((N, nu)), Hd=jnp.zeros((N + 1, nz, nx)),
+        cd=jnp.zeros((N + 1, nz)))
+    P, q, A, l, u, _ = dense.assemble(params)
+    rho_np = np.full(dense.n_con, 0.1)
+    rho_np[dense.r_init:dense.r_init + nx] *= OSQP_RHO_EQ_SCALE
+    rho_np[dense.r_dyn:dense.r_dyn + N * nx] *= OSQP_RHO_EQ_SCALE
+
+    stage = StageLOCP(N, H, Qz, R, U=U, dU=dU, X=X, trust_region=True,
+                      x_char=x_char)
+    assert stage.n_var == dense.n_var and stage.n_con == dense.n_con
+
+    # matrix-free op agreement
+    w = jnp.array(rng.normal(size=dense.n_var))
+    v = jnp.array(rng.normal(size=dense.n_con))
+    np.testing.assert_allclose(
+        np.asarray(stage.A_mv(jnp.array(Ad), jnp.array(Bd), w)),
+        np.asarray(A) @ np.asarray(w), atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(stage.At_mv(jnp.array(Ad), jnp.array(Bd), v)),
+        np.asarray(A).T @ np.asarray(v), atol=1e-10)
+    lb, ub = stage.bounds(jnp.array(x0), jnp.array(dd),
+                          delta=jnp.array(delta), xk=jnp.array(xk))
+    np.testing.assert_allclose(np.asarray(lb), np.asarray(l))
+    np.testing.assert_allclose(np.asarray(ub), np.asarray(u))
+    np.testing.assert_allclose(
+        np.asarray(stage.q_vec(jnp.array(z), jnp.zeros((N, nu)),
+                               omega=jnp.array(omega))),
+        np.asarray(q), atol=1e-10)
+
+    # full ADMM agreement
+    w0 = jnp.zeros(dense.n_var)
+    y0 = jnp.zeros(dense.n_con)
+    w_dense, _ = admm_fixed(P, q, A, l, u, w0, y0, jnp.asarray(rho_np), 150)
+    w_stage, _ = stage.solve(Ad, Bd, dd, x0, z, iters=150, delta=delta,
+                             omega=omega, xk=xk)
+    np.testing.assert_allclose(np.asarray(w_stage), np.asarray(w_dense),
+                               atol=1e-8)
+
+
+def test_gusto_with_stage_backend_matches_dense_backend():
+    """Host GuSTO over the stage backend lands on the same solution as the
+    dense backend (Dubins, constrained)."""
+    from soft_robot_control_tpu.models.dubins import DubinsCar
+    from soft_robot_control_tpu.scp.gusto import GuSTO
+
+    model = DubinsCar()
+    N, dt = 30, 0.1
+    Qz = np.diag([1.0, 1.0, 0.0])
+    R = 0.1 * np.eye(2)
+    U = HyperRectangle(np.array([1.0, 1.0]), np.array([0.0, -1.0]))
+    z_tgt = np.tile(np.array([1.0, 1.0, 0.0]), (N + 1, 1))
+    x0 = np.zeros(3)
+    u_init = np.zeros((N, 2))
+    x_init = np.asarray(model.rollout(x0, u_init, dt))
+
+    g_dense = GuSTO(model, N, dt, Qz, R, x0, u_init, x_init, z=z_tgt, U=U,
+                    verbose=0, warm_start=True)
+    x_d, u_d, _, _ = g_dense.get_solution()
+    g_stage = GuSTO(model, N, dt, Qz, R, x0, u_init, x_init, z=z_tgt, U=U,
+                    verbose=0, warm_start=True, locp_backend="stage",
+                    iters=600)
+    x_s, u_s, _, _ = g_stage.get_solution()
+
+    # SCP on the nonconvex Dubins car may land on different local optima;
+    # demand comparable solution quality and feasibility instead
+    def true_cost(x, u):
+        J = 0.0
+        for k in range(N + 1):
+            r = x[k] - z_tgt[k]
+            J += r @ Qz @ r
+        for k in range(N):
+            J += u[k] @ R @ u[k]
+        return J
+
+    assert true_cost(x_s, u_s) <= 1.1 * true_cost(x_d, u_d)
+    assert np.all(u_s[:, 0] >= -1e-5) and np.all(u_s[:, 0] <= 1 + 1e-5)
+    x_roll = np.asarray(model.rollout(x0, u_s, dt))
+    assert np.linalg.norm(x_roll[-1, :2] - x_s[-1, :2]) < 0.15
+
+
+@pytest.mark.slow
+def test_gusto_long_horizon_stage_backend():
+    """Full GuSTO at N=200 (the reference's open-loop trajopt horizon,
+    examples/hardware/diamond.py:471) through the block-sparse backend."""
+    from soft_robot_control_tpu.models.dubins import DubinsCar
+    from soft_robot_control_tpu.scp.standalone import run_gusto_standalone
+
+    model = DubinsCar()
+    N, dt = 200, 0.05
+    Qz = np.diag([1.0, 1.0, 0.0])
+    R = 0.05 * np.eye(2)
+    U = HyperRectangle(np.array([1.0, 1.0]), np.array([0.0, -1.0]))
+    # moving target: straight line to (4, 2)
+    t = dt * np.arange(N + 1)
+    z = np.zeros((N + 1, 3))
+    z[:, 0] = 4.0 * t / t[-1]
+    z[:, 1] = 2.0 * t / t[-1]
+    x0 = np.zeros(3)
+    # N=200 ADMM needs more iterations to pass the acceptance residuals
+    xopt, uopt, zopt, topt, gusto = run_gusto_standalone(
+        model, N, dt, Qz, R, x0, z=z, U=U, locp_backend="stage", iters=2000,
+        max_gusto_iters=10)
+    assert np.all(np.isfinite(xopt))
+    # end of trajectory near the end of the target line
+    assert np.linalg.norm(xopt[-1, :2] - [4.0, 2.0]) < 0.6, xopt[-1]
+    assert np.all(uopt[:, 0] >= -1e-5) and np.all(uopt[:, 0] <= 1 + 1e-5)
