@@ -91,6 +91,89 @@ def admm_pallas(M1, A, q, l, u, rho_vec, w0, y0, iters: int,
     return w.reshape(-1), y.reshape(-1)
 
 
+def _admm_kinv_kernel(iters: int, sigma: float, alpha: float,
+                      Kinv_ref, A_ref, q_ref, l_ref, u_ref, rho_ref,
+                      w0_ref, y0_ref, w_out, y_out):
+    """One QP of the grid-batched ADMM: identical update rule to
+    _admm_kernel but with a precomputed symmetric K^-1 (one matmul per
+    x-step instead of two with M1)."""
+    dt = Kinv_ref.dtype
+    hi = jax.lax.Precision.HIGHEST
+    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=dt, precision=hi)
+    Kinv = Kinv_ref[0]
+    A = A_ref[0]
+    # vector operands ride as (1, 1, n) blocks (Mosaic requires the last two
+    # block dims to divide (8, 128) or equal the array dims; a (1, n) block
+    # over (B, n) satisfies neither) — peel the block axis to (1, n) rows
+    q = q_ref[0]
+    l = l_ref[0]
+    u = u_ref[0]
+    rho = rho_ref[0]
+    w = w0_ref[0]
+    y = y0_ref[0]
+    z = jnp.clip(dot(w, A.T), l, u)
+
+    def body(i, carry):
+        w, z, y = carry
+        rhs = sigma * w - q + dot(rho * z - y, A)
+        x_t = dot(rhs, Kinv)  # K^-1 symmetric: row-vector form needs no .T
+        z_t = dot(x_t, A.T)
+        w_new = alpha * x_t + (1 - alpha) * w
+        z_rel = alpha * z_t + (1 - alpha) * z
+        z_new = jnp.clip(z_rel + y / rho, l, u)
+        y_new = y + rho * (z_rel - z_new)
+        return w_new, z_new, y_new
+
+    w, z, y = jax.lax.fori_loop(0, iters, body, (w, z, y))
+    w_out[0] = w
+    y_out[0] = y
+
+
+@partial(jax.jit, static_argnames=("iters", "sigma", "alpha", "interpret"))
+def admm_batched_pallas(Kinv, A, q, l, u, rho_vec, w0, y0, iters: int,
+                        sigma: float = 1e-6, alpha: float = 1.6,
+                        interpret: bool = False):
+    """B independent fixed-iteration ADMM solves in ONE kernel launch.
+
+    grid=(B,): each program instance loads its QP's K^-1 and A into VMEM
+    once and runs all `iters` iterations there. The vmapped XLA lowering
+    (control/batch_mpc.py:admm_fixed_kinv under vmap) re-reads the (B,n,n)
+    K^-1 and (B,m,n) A from HBM on every iteration — for ROM-scale QPs that
+    HBM traffic, not FLOPs, is the bound; this kernel removes the iters-x
+    refetch. Grid batching also avoids vmap-of-pallas, which compiles
+    pathologically today.
+
+    Kinv: (B, n, n) symmetric; A: (B, m, n); q, w0: (B, n);
+    l, u, y0: (B, m); rho_vec: (m,) shared. Returns (w, y) of (B, n)/(B, m).
+    """
+    B, n = q.shape
+    m = A.shape[1]
+    dt = Kinv.dtype
+    kernel = partial(_admm_kinv_kernel, iters, float(sigma), float(alpha))
+    # vectors travel as (B, 1, k) so each block is (1, 1, k) with its last
+    # two dims equal to the trailing array dims (Mosaic block-shape rule)
+    r3 = lambda v: v.astype(dt).reshape(v.shape[0], 1, v.shape[1])
+    vec = lambda: pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0))
+    con = lambda: pl.BlockSpec((1, 1, m), lambda i: (i, 0, 0))
+    w, y = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        out_shape=(jax.ShapeDtypeStruct((B, 1, n), dt),
+                   jax.ShapeDtypeStruct((B, 1, m), dt)),
+        in_specs=[
+            pl.BlockSpec((1, n, n), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, m, n), lambda i: (i, 0, 0)),
+            vec(), con(), con(),
+            pl.BlockSpec((1, 1, m), lambda i: (0, 0, 0)),  # shared rho row
+            vec(), con(),
+        ],
+        out_specs=(vec(), con()),
+        interpret=interpret,
+    )(Kinv, A.astype(dt), r3(q), r3(l), r3(u),
+      rho_vec.astype(dt).reshape(1, 1, -1), r3(w0), r3(y0))
+    return w.reshape(B, n), y.reshape(B, m)
+
+
 def admm_fixed_pallas(P, q, A, l, u, w0, y0, rho_vec, iters: int,
                       sigma: float = 1e-6, alpha: float = 1.6,
                       interpret: bool = False):

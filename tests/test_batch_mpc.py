@@ -96,6 +96,37 @@ def test_batched_matches_single(setup):
                                    np.asarray(single[k]), atol=1e-9)
 
 
+def test_fused_matches_vmapped(setup):
+    """The grid-batched-Pallas fused path (build_fused) must reproduce the
+    vmapped kinv path: same update rule, same linearizations — only the
+    launch structure differs (interpret-mode kernel on CPU)."""
+    plant, rom, model, Hf, Cf, X, dt = setup
+    mpc = BatchMPC(model, np.array([[100.0]]), 1e-3 * np.eye(4), N=4, dt=dt,
+                   N_replan=2, qp_iters=40, dtype=jnp.float64, x_step="kinv",
+                   W=1e-2 * np.eye(model.state_dim),
+                   V=1e-4 * np.eye(model.C.shape[0]))
+    n_win = 5
+    run = mpc.build(n_win)
+    run_f = mpc.build_fused(n_win)
+    z0 = float(X[0] @ Hf[0])
+    x0 = np.asarray(rom.project_x(jnp.asarray(X[0])))
+    T = n_win * 2 + 4 + 1
+    B = 3
+    rng = np.random.default_rng(2)
+    offs = rng.uniform(0.03, 0.07, size=B)
+    zt = np.stack([window_targets(np.full((T, 1), z0 + offs[b]), n_win, 2, 4)
+                   for b in range(B)])
+    x0B = jnp.tile(x0, (B, 1))
+    keys = jax.random.split(jax.random.PRNGKey(3), B)
+
+    ref = mpc.run_batch(x0B, x0B, jnp.asarray(zt), keys)
+    fused = run_f(x0B, x0B, jnp.asarray(zt), keys)
+    for k in ["z", "u"]:
+        assert fused[k].shape == ref[k].shape
+        np.testing.assert_allclose(np.asarray(fused[k]), np.asarray(ref[k]),
+                                   atol=1e-9)
+
+
 def test_kinv_xstep_matches_chol(setup):
     """The precomputed-K^-1 ADMM variant must agree with the cho_solve
     variant (f64)."""

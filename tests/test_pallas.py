@@ -37,6 +37,40 @@ def test_pallas_admm_matches_xla(seed):
     np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=2e-5)
 
 
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pallas_admm_batched_matches_vmapped(seed):
+    """The grid-batched kernel must match vmap(admm_fixed_kinv) per QP."""
+    from soft_robot_control_tpu.control.batch_mpc import (admm_fixed_kinv,
+                                                          make_kinv)
+    from soft_robot_control_tpu.ops.pallas_admm import admm_batched_pallas
+
+    rng = np.random.default_rng(10 + seed)
+    B, n, m = 4, 24, 32
+    Ph = rng.normal(size=(B, n, n))
+    P = jnp.asarray(Ph @ Ph.transpose(0, 2, 1) + 0.1 * np.eye(n))
+    q = jnp.asarray(rng.normal(size=(B, n)))
+    A = jnp.asarray(rng.normal(size=(B, m, n)))
+    xf = rng.normal(size=(B, n)) * 0.2
+    mid = np.einsum("bmn,bn->bm", np.asarray(A), xf)
+    l = jnp.asarray(mid - rng.uniform(0.1, 1, (B, m)))
+    u = jnp.asarray(mid + rng.uniform(0.1, 1, (B, m)))
+    l = l.at[:, :5].set(u[:, :5])  # equality rows
+    rho = 0.1 * np.ones(m)
+    rho[:5] *= 1000
+    rho = jnp.asarray(rho)
+    w0 = jnp.zeros((B, n))
+    y0 = jnp.zeros((B, m))
+
+    Kinv = jax.vmap(lambda P_, A_: make_kinv(P_, A_, rho))(P, A)
+    w1, y1 = jax.vmap(
+        lambda K_, q_, A_, l_, u_, w_, y_: admm_fixed_kinv(
+            K_, q_, A_, l_, u_, w_, y_, rho, 200))(Kinv, q, A, l, u, w0, y0)
+    w2, y2 = admm_batched_pallas(Kinv, A, q, l, u, rho, w0, y0, 200,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(w2), np.asarray(w1), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), atol=1e-10)
+
+
 def test_pallas_tpwl_gather_matches_model():
     plant, rom, model, Hf, Cf, X, _ = chain_pipeline()
     model = model.pre_discretize(0.02)
