@@ -505,6 +505,81 @@ class BatchSSMMPC:
         self._run = run
         return run
 
+    def build_fused(self, n_windows: int, interpret=None):
+        """Batch-fused SSM MPC: same semantics as run_batch, but each
+        window's B LOCPs solve in one grid-batched Pallas launch (see
+        BatchMPC.build_fused)."""
+        from soft_robot_control_tpu.ops.pallas_admm import admm_batched_pallas
+
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        m = self.model
+        N, N_rep, dt = self.N, self.N_replan, self.dt
+        spec = self.spec
+        n_var, n_con = spec.n_var, spec.n_con
+
+        def assemble_one(x0, x_k, u_k, z_w):
+            Ad, Bd, dd = jax.vmap(lambda x, u_: m.get_jacobians(x, u_, dt))(
+                x_k[:-1], u_k)
+            Hd, cd = jax.vmap(m.get_observer_jacobians)(x_k)
+            params = LOCPParams(
+                Ad=Ad, Bd=Bd, dd=dd, x0=x0, xk=x_k,
+                delta=jnp.asarray(1e4, self.dtype),
+                omega=jnp.asarray(1.0, self.dtype),
+                z=z_w, zf=jnp.zeros(self.n_z, self.dtype),
+                u_des=jnp.zeros((self.N, self.n_u), self.dtype),
+                Hd=Hd, cd=cd)
+            return spec.assemble(params)
+
+        def query_batched(x0, x_k, u_k, z_win, warm):
+            B = x0.shape[0]
+            P, q, A, l, u, _ = jax.vmap(assemble_one)(x0, x_k, u_k, z_win)
+            Kinv = jax.vmap(lambda P_, A_: make_kinv(P_, A_, self.rho_vec))(
+                P, A)
+            w0, y0 = warm
+            w, y = admm_batched_pallas(Kinv, A, q, l, u, self.rho_vec, w0, y0,
+                                       self.qp_iters, interpret=interpret)
+            x_plan = w[:, spec.off_x:spec.off_u].reshape(B, N + 1, self.n_x)
+            u_plan = w[:, spec.off_u:spec.off_u + N * self.n_u].reshape(
+                B, N, self.n_u)
+            return x_plan, u_plan, (w, y)
+
+        def tick(carry, k):
+            x_p, x_plan, u_plan = carry
+            u = u_plan[k]
+            x_next = m.update_state(x_p, u, dt)
+            z = m.x_to_zfyf(x_next)
+            return (x_next, x_plan, u_plan), (z, u)
+
+        def tick_scan(x_p, x_plan, u_plan):
+            (x_p, _, _), (zs, us) = jax.lax.scan(
+                tick, (x_p, x_plan, u_plan), jnp.arange(N_rep))
+            return x_p, (zs, us)
+
+        def window_b(carry, z_win):
+            x_p, x_plan, u_plan, warm = carry
+            z_meas = jax.vmap(m.x_to_zfyf)(x_p)
+            x_hat = jax.vmap(m.compute_RO_state)(z_meas)
+            x_plan, u_plan, warm = query_batched(x_hat, x_plan, u_plan,
+                                                 z_win, warm)
+            x_p, (zs, us) = jax.vmap(tick_scan)(x_p, x_plan, u_plan)
+            return (x_p, x_plan, u_plan, warm), (zs, us)
+
+        def run(x_plant0, z_target):
+            B = x_plant0.shape[0]
+            x_plan0 = jnp.tile(x_plant0[:, None], (1, N + 1, 1))
+            u_plan0 = jnp.zeros((B, N, self.n_u), self.dtype)
+            warm0 = (jnp.zeros((B, n_var), self.dtype),
+                     jnp.zeros((B, n_con), self.dtype))
+            carry0 = (x_plant0, x_plan0, u_plan0, warm0)
+            _, (zs, us) = jax.lax.scan(window_b, carry0,
+                                       jnp.swapaxes(z_target, 0, 1))
+            fix = lambda a: jnp.swapaxes(a, 0, 1).reshape(B, -1, a.shape[-1])
+            return {"z": fix(zs), "u": fix(us)}
+
+        self._run_fused = jax.jit(run)
+        return self._run_fused
+
     def run_batch(self, x_plant0, z_target):
         if self._run is None:
             raise RuntimeError("call build() first")

@@ -70,3 +70,41 @@ def sim_pkl_to_csv(pkl_path: str, out_dir: Optional[str] = None):
                        delimiter=",")
             paths[key] = path
     return paths
+
+
+def train_ssm_native(plant: FEMSurrogate, Hf, u_levels, state_dim: int,
+                     SSM_order: int = 3, ROM_order: int = 3,
+                     n_delay: int = 0, hold_time: float = 2.0,
+                     decay_time: float = 4.0, dt: float = 0.01,
+                     settle_skip: int = 0,
+                     save_path: Optional[str] = None, **learn_kwargs):
+    """End-to-end native SSM identification: run the decay campaign on the
+    plant and fit an SSMModel with models/ssm_learn.py — the workflow the
+    reference splits across SSM_sysID.py -> CSV export -> MATLAB SSMLearn ->
+    SSM_model.mat, collapsed into one on-device call.
+
+    The equilibrium is taken from the plant rest state (the role of the
+    reference's rest calibration) rather than estimated from decay tails.
+    settle_skip drops the first samples of every decay: right after release
+    the state still carries fast off-manifold transients whose projection
+    corrupts the reduced-dynamics fit (SSMLearn's t_trunc plays this role);
+    a model trained this way is valid ON the manifold, so predictions
+    should likewise start post-transient.
+    Returns the fitted SSMModel; optionally writes an SSM_model.mat.
+    """
+    from soft_robot_control_tpu.models.ssm_learn import learn_ssm, save_mat
+
+    decays = collect_decay_trajectories(plant, Hf, u_levels,
+                                        hold_time=hold_time,
+                                        decay_time=decay_time, dt=dt)
+    Hf = np.asarray(Hf)
+    z_eq = Hf @ np.asarray(plant.x_rest())
+    if n_delay > 0:
+        z_eq = np.tile(z_eq, n_delay + 1)
+    model = learn_ssm([z[settle_skip:] for _, z in decays], dt,
+                      state_dim=state_dim,
+                      SSM_order=SSM_order, ROM_order=ROM_order,
+                      n_delay=n_delay, z_ref=z_eq, **learn_kwargs)
+    if save_path is not None:
+        save_mat(model, save_path)
+    return model

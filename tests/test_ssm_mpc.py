@@ -177,3 +177,50 @@ def test_batched_ssm_mpc(ssm_model):
                        z[b, T_sim // 3:, 1] - z_ref[1] - zy_des[T_sim // 3:])
         rel = np.sqrt(np.mean(err**2)) / amp
         assert rel < 0.3, f"batch {b}: rel RMSE {rel:.3f}"
+
+
+@pytest.mark.slow
+def test_batched_ssm_mpc_fused_matches(ssm_model):
+    """BatchSSMMPC.build_fused (grid-batched Pallas LOCP launch) must
+    reproduce the vmapped path exactly at f64 (interpret kernel on CPU)."""
+    from soft_robot_control_tpu.control.batch_mpc import BatchSSMMPC, window_targets
+
+    model = ssm_model
+    dt = 0.02
+    N, N_replan = 3, 2
+    nz = model.output_dim
+    Qz = np.zeros((nz, nz))
+    Qz[0, 0] = Qz[1, 1] = 100.0
+    R = 1e-7 * np.eye(model.input_dim)
+
+    mpc = BatchSSMMPC(model, Qz, R, N=N, dt=dt, N_replan=N_replan,
+                      qp_iters=80, dtype=jnp.float64)
+    n_windows = 8
+    mpc.build(n_windows)
+    run_f = mpc.build_fused(n_windows)
+
+    B = 3
+    rng = np.random.default_rng(1)
+    phases = rng.uniform(0, 2 * np.pi, size=B)
+    amp = 2.0
+    T = n_windows * N_replan + N + 1
+    t = dt * np.arange(T)
+    z_targets = []
+    for b in range(B):
+        z = np.zeros((T, nz))
+        z[:, 0] = amp * np.cos(2 * np.pi * t / 6.0 + phases[b]) - amp * np.cos(phases[b])
+        z[:, 1] = amp * np.sin(2 * np.pi * t / 6.0 + phases[b]) - amp * np.sin(phases[b])
+        z_targets.append(window_targets(z, n_windows, N_replan, N))
+    z_targets = jnp.asarray(np.stack(z_targets))
+    x0 = jnp.zeros((B, model.state_dim))
+
+    ref = mpc.run_batch(x0, z_targets)
+    fused = run_f(x0, z_targets)
+    for k in ["z", "u"]:
+        assert fused[k].shape == ref[k].shape
+        # the kernel contracts row-vector x matrix while admm_fixed_kinv
+        # contracts matrix x column — different f64 rounding orders that the
+        # unconverged-ADMM warm-start chain amplifies to ~1e-6 on this
+        # ill-conditioned QP; 1e-4 still pins identical semantics
+        np.testing.assert_allclose(np.asarray(fused[k]), np.asarray(ref[k]),
+                                   atol=1e-4)
