@@ -127,8 +127,16 @@ def main():
     xig = jnp.repeat(x0g[:, None, :], 6, axis=1)
     zg = jnp.asarray(np.repeat(
         np.asarray(model_d.z_ref)[None, None, :], 6, axis=1).repeat(Bg, 0), dtype)
-    t_g = timeit(lambda: gj.solve_batch(x0g, u0g, xig, zg), warmup=1, iters=5)
+    # fused path: lockstep fori + ONE grid-batched Pallas LOCP launch per
+    # SCP iteration (identical per-element results; ~10x the vmapped
+    # while_loop whose batched XLA ADMM refetches K^-1/A from HBM each
+    # iteration)
+    t_g = timeit(lambda: gj.solve_batch_fused(x0g, u0g, xig, zg), warmup=1,
+                 iters=5)
     gusto_solves_per_sec = Bg / t_g
+    t_gx = timeit(lambda: gj.solve_batch(x0g, u0g, xig, zg), warmup=1,
+                  iters=5)
+    gusto_solves_per_sec_xla = Bg / t_gx
 
     result = {
         "metric": "gusto_mpc_step_ms_diamond",
@@ -142,6 +150,7 @@ def main():
             "batched_mpc_windows_per_sec_1024way": round(batch_mpc_steps_per_sec, 1),
             "batched_mpc_windows_per_sec_1024way_xla": round(batch_mpc_steps_per_sec_xla, 1),
             "batched_full_gusto_solves_per_sec_64way": round(gusto_solves_per_sec, 1),
+            "batched_full_gusto_solves_per_sec_64way_xla": round(gusto_solves_per_sec_xla, 1),
             "device": str(jax.devices()[0]),
         },
     }

@@ -240,13 +240,28 @@ class OpenLoop:
     def __init__(self, m, t_sequence, u_sequence, save_sequence, delay=1):
         self.m = m
         self.t_seq = np.asarray(t_sequence, float)
-        u = np.asarray(u_sequence, float)
-        self.u_seq = u.T if u.shape[0] == m and u.ndim == 2 else u  # (T, m)
+        u = self.convert_u_standard_form(np.asarray(u_sequence, float))
+        self.u_seq = u.T  # (T, m)
         self.save_seq = save_sequence
         self.observer = None
         self.u = np.zeros(m)
         self.delay = delay
         self.sim_dt = None
+
+    def convert_u_standard_form(self, u):
+        """Coerce a control sequence to (m, T) standard form, transposing a
+        (T, m) input and zeroing out malformed shapes with a warning
+        (open_loop_controller.py:242-254 semantics)."""
+        if u.ndim == 1:
+            u = u.reshape(1, -1)
+        if u.shape[0] != self.m and u.shape[1] == self.m:
+            u = u.T
+        elif u.shape[0] != self.m and u.shape[1] != self.m:
+            print(f"Control sequence ({u.shape[0]} x {u.shape[1]}) does not "
+                  f"specify proper number of inputs ({self.m} x -)")
+            print("Setting control to zero")
+            u = np.zeros((self.m, 1))
+        return u
 
     def add_observer(self, observer):
         self.observer = observer

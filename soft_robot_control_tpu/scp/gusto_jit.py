@@ -216,3 +216,137 @@ class GuSTOJit:
             jnp.asarray(x0, self.dtype), jnp.asarray(u_init, self.dtype),
             jnp.asarray(x_init, self.dtype), jnp.asarray(z, self.dtype),
             jnp.asarray(u_des, self.dtype))
+
+    # ------------------------------------------------------------------
+    def _build_fused(self, interpret: bool):
+        """Batch-synchronous GuSTO: lockstep fori_loop over max_iters where
+        every SCP iteration solves ALL B LOCPs in one grid-batched Pallas
+        launch (ops/pallas_admm.py). Per-element accept/convergence state is
+        carried in masks, so results match vmap(while_loop) exactly —
+        batched while_loop runs elements in lockstep with frozen carries
+        anyway, this version just makes the iteration structure explicit
+        and swaps the HBM-bound batched XLA ADMM for the VMEM kernel."""
+        from soft_robot_control_tpu.ops.pallas_admm import admm_batched_pallas
+
+        model, spec, dt = self.model, self.spec, self.dt
+        N, n_x, n_u, n_z = self.N, self.n_x, self.n_u, self.n_z
+        p = {k: jnp.asarray(v, self.dtype) for k, v in self.p.items()}
+        max_iters, qp_iters = self.max_iters, self.qp_iters
+        x_scale, f_scale = self.x_scale, self.f_scale
+        rho_vec = self.rho_vec
+        X_set = self.X
+
+        lin_d = jax.vmap(lambda x, u_: model.get_discrete_dynamics(x, u_, dt))
+        lin_c = jax.vmap(model.get_continuous_dynamics)
+
+        def assemble_one(x_k, u_k, x0, z, u_des, delta, omega):
+            Ad, Bd, dd = lin_d(x_k[:-1], u_k)
+            params = LOCPParams(
+                Ad=Ad, Bd=Bd, dd=dd, x0=x0, xk=x_k, delta=delta, omega=omega,
+                z=z, zf=jnp.zeros(n_z, self.dtype), u_des=u_des,
+                Hd=jnp.zeros((N + 1, n_z, n_x), self.dtype),
+                cd=jnp.zeros((N + 1, n_z), self.dtype))
+            return spec.assemble(params)
+
+        def qp_b(x_k, u_k, x0, z, u_des, delta, omega, warm):
+            B = x_k.shape[0]
+            P, q, A, l, u_b, const = jax.vmap(assemble_one)(
+                x_k, u_k, x0, z, u_des, delta, omega)
+            Kinv = jax.vmap(lambda P_, A_: make_kinv(P_, A_, rho_vec))(P, A)
+            w, y = admm_batched_pallas(Kinv, A, q, l, u_b, rho_vec,
+                                       warm[0], warm[1], qp_iters,
+                                       interpret=interpret)
+            x_n = w[:, spec.off_x:spec.off_u].reshape(B, N + 1, n_x)
+            u_n = w[:, spec.off_u:spec.off_u + N * n_u].reshape(B, N, n_u)
+            J = 0.5 * jnp.einsum("bi,bij,bj->b", w, P, w) \
+                + jnp.einsum("bi,bi->b", q, w) + const
+            return x_n, u_n, J, (w, y)
+
+        def accuracy_b(x_n, u_n, x_k, u_k, J):
+            f_new, _, _ = jax.vmap(lin_c)(x_n[:, :-1], u_n)
+            fk, Ak, Bk = jax.vmap(lin_c)(x_k[:, :-1], u_k)
+            f_lin = fk + jnp.einsum("bkij,bkj->bki", Ak,
+                                    x_n[:, :-1] - x_k[:, :-1]) \
+                + jnp.einsum("bkij,bkj->bki", Bk, u_n - u_k)
+            err = dt * jnp.sum(
+                jnp.linalg.norm(f_scale * (f_new - f_lin), axis=2), axis=1)
+            approx = dt * jnp.sum(
+                jnp.linalg.norm(f_scale * f_lin, axis=2), axis=1)
+            return err / (J + approx)
+
+        def solve(x0, u_init, x_init, z, u_des):
+            B = x0.shape[0]
+            z = z.astype(self.dtype)
+            u_des = u_des.astype(self.dtype)
+
+            def body(_, c):
+                (x_k, u_k, delta, omega, Jp, dp, op, itr, conv, warm,
+                 J_last) = c
+                active = (~conv) & (omega <= p["omega_max"]) \
+                    & (itr < max_iters)
+                x_n, u_n, J, warm_n = qp_b(x_k, u_k, x0, z, u_des, delta,
+                                           omega, warm)
+                max_diff = jnp.max(jnp.max(
+                    jnp.abs(x_scale * (x_n - x_k)), axis=2), axis=1)
+                tr_ok = (max_diff - delta) <= p["epsilon"]
+                rho_k = accuracy_b(x_n, u_n, x_k, u_k, J)
+                rho_bad = (rho_k > p["rho"]) & (itr != 1)
+                mod1 = (dp == delta) & (op == omega) & (Jp <= J)
+                if X_set is not None:
+                    viol = jax.vmap(
+                        lambda xs: jnp.max(X_set.violation(xs)))(x_n[:, 1:])
+                    X_ok = viol <= p["epsilon"]
+                else:
+                    X_ok = jnp.ones(B, bool)
+                accept = active & tr_ok & ~rho_bad
+                delta_new = jnp.where(
+                    active & tr_ok & rho_bad, p["beta_fail"] * delta,
+                    jnp.where(accept & mod1, p["beta_fail"] * delta, delta))
+                omega_new = jnp.where(
+                    active & ~tr_ok, p["gamma_fail"] * omega,
+                    jnp.where(accept & ~X_ok, p["gamma_fail"] * omega, omega))
+                dsol = jnp.sum(jnp.linalg.norm(
+                    x_scale * (x_n - x_k), axis=2), axis=1) / (self.n_x * N)
+                conv_new = jnp.where(
+                    active, accept & (dsol <= p["convg_thresh"]) & X_ok, conv)
+                dp_new = jnp.where(accept, delta, dp)
+                op_new = jnp.where(accept, omega, op)
+                Jp_new = jnp.where(accept, J, Jp)
+                sel = lambda m, a, b: jnp.where(
+                    m.reshape((-1,) + (1,) * (a.ndim - 1)), a, b)
+                x_k = sel(accept, x_n, x_k)
+                u_k = sel(accept, u_n, u_k)
+                warm = jax.tree_util.tree_map(
+                    lambda a, b: sel(accept, a, b), warm_n, warm)
+                return (x_k, u_k, delta_new, omega_new, Jp_new, dp_new,
+                        op_new, itr + active.astype(itr.dtype), conv_new,
+                        warm, jnp.where(accept, J, J_last))
+
+            inf = jnp.full(B, jnp.inf, self.dtype)
+            warm0 = (jnp.zeros((B, spec.n_var), self.dtype),
+                     jnp.zeros((B, spec.n_con), self.dtype))
+            c0 = (x_init.astype(self.dtype), u_init.astype(self.dtype),
+                  jnp.full(B, p["delta0"], self.dtype),
+                  jnp.full(B, p["omega0"], self.dtype), inf, inf, inf,
+                  jnp.zeros(B, jnp.int32), jnp.zeros(B, bool), warm0, inf)
+            c = jax.lax.fori_loop(0, max_iters, body, c0)
+            return GuSTOJitResult(x=c[0], u=c[1], iters=c[7], converged=c[8],
+                                  J=c[10])
+
+        return solve
+
+    def solve_batch_fused(self, x0, u_init, x_init, z, u_des=None,
+                          interpret=None):
+        """Batch GuSTO with the grid-batched Pallas LOCP launch (see
+        _build_fused); same results as solve_batch, higher TPU throughput."""
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        if getattr(self, "_solve_fused_interp", None) != interpret:
+            self._solve_fused = jax.jit(self._build_fused(interpret))
+            self._solve_fused_interp = interpret
+        if u_des is None:
+            u_des = jnp.zeros((x0.shape[0], self.N, self.n_u), self.dtype)
+        return self._solve_fused(
+            jnp.asarray(x0, self.dtype), jnp.asarray(u_init, self.dtype),
+            jnp.asarray(x_init, self.dtype), jnp.asarray(z, self.dtype),
+            jnp.asarray(u_des, self.dtype))

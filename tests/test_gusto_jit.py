@@ -83,6 +83,36 @@ def test_gusto_jit_batched_solves():
         assert d1 < 0.5 * d0, (b, d0, d1)
 
 
+def test_gusto_jit_fused_matches_vmapped():
+    """solve_batch_fused (lockstep fori + grid-batched Pallas LOCP) must
+    reproduce solve_batch per element (f64, interpret kernel on CPU)."""
+    N, dt = 20, 0.1
+    model, Qz, R, U, _, _, u_init, _ = _dubins_problem(N, dt)
+    dev = GuSTOJit(model, N, dt, Qz, R, U=U, max_iters=8, qp_iters=200,
+                   x_step="kinv")
+
+    B = 3
+    rng = np.random.default_rng(1)
+    targets = rng.uniform(0.5, 1.5, size=(B, 2))
+    z = np.zeros((B, N + 1, 3))
+    z[:, :, :2] = targets[:, None, :]
+    x0 = np.zeros((B, 3))
+    u0 = np.zeros((B, N, 2))
+    x_init = np.stack([np.asarray(model.rollout(x0[b], u0[b], dt))
+                       for b in range(B)])
+    ref = dev.solve_batch(x0, u0, x_init, z)
+    fused = dev.solve_batch_fused(x0, u0, x_init, z)
+    np.testing.assert_array_equal(np.asarray(fused.iters),
+                                  np.asarray(ref.iters))
+    np.testing.assert_array_equal(np.asarray(fused.converged),
+                                  np.asarray(ref.converged))
+    # same iterates up to the ADMM kernel's contraction-order rounding
+    np.testing.assert_allclose(np.asarray(fused.x), np.asarray(ref.x),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fused.u), np.asarray(ref.u),
+                               atol=1e-6)
+
+
 def test_gusto_jit_state_constraints():
     """X polytope keeps the device-GuSTO trajectory inside the box."""
     N, dt = 25, 0.1
