@@ -112,6 +112,32 @@ def sharded_rollout_batch(model, x0, u, dt, mesh: Mesh):
               model_p.d_d, x0, u)
 
 
+def sharded_batch_mpc_fused(mpc, n_windows: int, mesh: Mesh,
+                            noise_std: float = 0.0, interpret=None):
+    """Batch-fused closed-loop MPC sharded over 'dp': each device runs the
+    fused window scan (one grid-batched Pallas ADMM launch per window,
+    control/batch_mpc.py:BatchMPC.build_fused) on its B/dp shard. Purely
+    data-parallel — no collectives cross ICI; the Pallas grid shrinks to the
+    local shard so per-device VMEM pressure is unchanged.
+
+    Returns run(x_plant0 (B,n_x), ekf_x0, z_target (B,n_win,N+1,n_z),
+    keys (B,2)) with B divisible by mesh dp. Model/gains are replicated.
+    """
+    run_local = mpc.build_fused(n_windows, noise_std=noise_std,
+                                interpret=interpret)
+
+    def local_fn(x0_s, e0_s, zt_s, keys_s):
+        return run_local(x0_s, e0_s, zt_s, keys_s)
+
+    spec = P("dp")
+    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+    # annotation, which the vma checker rejects inside shard_map
+    fn = jax.shard_map(local_fn, mesh=mesh,
+                       in_specs=(spec, spec, spec, spec),
+                       out_specs=spec, check_vma=False)
+    return jax.jit(fn)
+
+
 def replicate(tree, mesh: Mesh):
     """Place a pytree fully replicated on the mesh."""
     sharding = NamedSharding(mesh, P())

@@ -11,6 +11,7 @@ import pytest
 from soft_robot_control_tpu.control.batch_mpc import BatchMPC, window_targets
 from soft_robot_control_tpu.models.tpwl import rollout_batch
 from soft_robot_control_tpu.parallel.mesh import (make_mesh, shard_batch,
+                                                  sharded_batch_mpc_fused,
                                                   sharded_rollout_batch)
 
 from helpers import chain_pipeline
@@ -75,3 +76,34 @@ def test_batch_mpc_sharded_dp(setup):
     z = np.asarray(logs["z"])
     assert z.shape == (B, 8, 1)
     assert np.all(np.isfinite(z))
+
+
+def test_batch_mpc_fused_sharded_matches_local(setup):
+    """The fused (grid-batched Pallas) closed loop under shard_map over
+    'dp' must reproduce the unsharded fused run exactly — pure DP, no
+    collectives, per-device grid of B/dp."""
+    rom, model, Hf, X = setup
+    mesh = make_mesh(dp=4, mp=1)
+    mpc = BatchMPC(model, np.array([[100.0]]), 1e-3 * np.eye(4), N=4,
+                   dt=0.02, N_replan=2, qp_iters=30, dtype=jnp.float64,
+                   x_step="kinv",
+                   W=1e-2 * np.eye(model.state_dim),
+                   V=1e-4 * np.eye(model.C.shape[0]))
+    n_win = 4
+    run_local = mpc.build_fused(n_win)
+    run_shard = sharded_batch_mpc_fused(mpc, n_win, mesh)
+    B = 8
+    z0 = float(X[0] @ Hf[0])
+    x0 = np.asarray(rom.project_x(jnp.asarray(X[0])))
+    T = n_win * 2 + 4 + 1
+    rng = np.random.default_rng(3)
+    offs = rng.uniform(0.02, 0.05, size=B)
+    zt = np.stack([window_targets(np.full((T, 1), z0 + o), n_win, 2, 4)
+                   for o in offs])
+    args = (jnp.tile(x0, (B, 1)), jnp.tile(x0, (B, 1)), jnp.asarray(zt),
+            jax.random.split(jax.random.PRNGKey(0), B))
+    ref = run_local(*args)
+    out = run_shard(*shard_batch(args, mesh, "dp"))
+    for k in ["z", "u"]:
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                   atol=1e-12)
