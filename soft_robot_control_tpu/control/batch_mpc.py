@@ -167,12 +167,18 @@ class BatchMPC:
                  W=None, V=None, Qk=None, Rk=None,
                  delta0: float = 1e4, omega0: float = 1.0,
                  trust_region: bool = False, use_pallas: bool = False,
-                 x_step: str = "chol", dtype=jnp.float32):
+                 x_step: str = "chol", formulation: str = "sparse",
+                 dtype=jnp.float32):
         """
         model: TPWLModel with output + measurement models set, will be
                pre-discretized at dt.
         Qz, R: MPC cost. Qk, Rk: feedback-gain cost (defaults H'QzH, R).
         W, V: EKF covariances.
+        formulation: 'sparse' keeps x as QP variables (the reference LOCP
+            shape); 'condensed' eliminates them by forward substitution
+            (scp/locp_condensed.py) — identical optimum in the real-time
+            trust_region=False mode with a ~(N*nu)^2 KKT instead of
+            ((N+1)*nx + N*nu)^2.
         """
         self.dt = float(dt)
         self.N = int(N)
@@ -210,6 +216,21 @@ class BatchMPC:
         # accuracy) or 'kinv' (precomputed K^-1, pure-matmul iterations —
         # the fast path under vmap where batched triangular solves dominate)
         self.x_step = x_step
+        self.formulation = formulation
+        if formulation == "condensed":
+            if trust_region:
+                raise NotImplementedError(
+                    "the condensed formulation eliminates x, so the trust "
+                    "region (a constraint on x) needs the sparse spec")
+            from soft_robot_control_tpu.scp.locp_condensed import CondensedSpec
+
+            self.cspec = CondensedSpec(self.N, np.asarray(m.H),
+                                       np.asarray(Qz), np.asarray(R),
+                                       U=U, dU=dU, dtype=dtype)
+            # all rows are inequalities: no equality-rho boost
+            self.rho_vec_c = jnp.full(self.cspec.n_con, rho, dtype)
+        elif formulation != "sparse":
+            raise ValueError(f"unknown formulation {formulation!r}")
 
         # EKF covariances
         self.W = jnp.asarray(W if W is not None else 100.0 * np.eye(self.n_x),
@@ -231,6 +252,26 @@ class BatchMPC:
         mode). Returns (x_plan, u_plan, warm)."""
         m = self.model
         spec = self.spec
+
+        if self.formulation == "condensed":
+            cspec = self.cspec
+
+            def scp_iter_c(carry, _):
+                x_k, u_k, (w0, y0) = carry
+                Ad, Bd, dd = self._gather_traj(x_k)
+                P, q, A, l, u, _, xfree, G = cspec.assemble(
+                    self._condensed_params(Ad, Bd, dd, x0, z_win))
+                Kinv = make_kinv(P, A, self.rho_vec_c)
+                w, y = admm_fixed_kinv(Kinv, q, A, l, u, w0, y0,
+                                       self.rho_vec_c, self.qp_iters)
+                u_new = w.reshape(self.N, self.n_u)
+                x_new = cspec.recover_x(xfree, G, w)
+                return (x_new, u_new, (w, y)), None
+
+            (x_plan, u_plan, warm), _ = jax.lax.scan(
+                scp_iter_c, (x_plan_prev, u_plan_prev, warm), None,
+                length=self.scp_iters)
+            return x_plan, u_plan, warm
 
         def scp_iter(carry, _):
             x_k, u_k, (w0, y0) = carry
@@ -270,6 +311,27 @@ class BatchMPC:
         return x_plan, u_plan, warm
 
     # ------------------------------------------------------------------
+    def _qp_dims(self):
+        if self.formulation == "condensed":
+            return self.cspec.n_var, self.cspec.n_con
+        return self.spec.n_var, self.spec.n_con
+
+    def _gather_traj(self, x_k):
+        m = self.model
+        return jax.vmap(
+            lambda x: (m.A_d[m.calc_nearest_point(x)],
+                       m.B_d[m.calc_nearest_point(x)],
+                       m.d_d[m.calc_nearest_point(x)]))(x_k[:-1])
+
+    def _condensed_params(self, Ad, Bd, dd, x0, z_win):
+        from soft_robot_control_tpu.scp.locp_condensed import CondensedParams
+
+        return CondensedParams(
+            Ad=Ad, Bd=Bd, dd=dd, x0=x0, z=z_win,
+            u_des=jnp.zeros((self.N, self.n_u), self.dtype),
+            Hd=jnp.zeros((self.N + 1, self.n_z, self.n_x), self.dtype),
+            cd=jnp.zeros((self.N + 1, self.n_z), self.dtype))
+
     def _mpc_query_batched(self, x0, x_plan_prev, u_plan_prev, z_win, warm,
                            interpret: bool):
         """Batched MPC query over a leading B axis: assembly/K^-1 are
@@ -281,6 +343,33 @@ class BatchMPC:
         m = self.model
         spec = self.spec
         B = x0.shape[0]
+
+        if self.formulation == "condensed":
+            cspec = self.cspec
+
+            def scp_iter_c(carry, _):
+                x_k, u_k, (w0, y0) = carry
+
+                def assemble_one(x0_i, x_k_i, z_w):
+                    Ad, Bd, dd = self._gather_traj(x_k_i)
+                    return cspec.assemble(
+                        self._condensed_params(Ad, Bd, dd, x0_i, z_w))
+
+                P, q, A, l, u, _, xfree, G = jax.vmap(assemble_one)(
+                    x0, x_k, z_win)
+                Kinv = jax.vmap(
+                    lambda P_, A_: make_kinv(P_, A_, self.rho_vec_c))(P, A)
+                w, y = admm_batched_pallas(Kinv, A, q, l, u, self.rho_vec_c,
+                                           w0, y0, self.qp_iters,
+                                           interpret=interpret)
+                u_new = w.reshape(B, self.N, self.n_u)
+                x_new = jax.vmap(cspec.recover_x)(xfree, G, w)
+                return (x_new, u_new, (w, y)), None
+
+            (x_plan, u_plan, warm), _ = jax.lax.scan(
+                scp_iter_c, (x_plan_prev, u_plan_prev, warm), None,
+                length=self.scp_iters)
+            return x_plan, u_plan, warm
 
         def assemble_one(x0_i, x_k, z_w):
             Ad, Bd, dd = jax.vmap(
@@ -357,7 +446,7 @@ class BatchMPC:
             interpret = jax.default_backend() != "tpu"
         N, N_rep = self.N, self.N_replan
         _, tick = self._make_tick(noise_std)
-        n_var, n_con = self.spec.n_var, self.spec.n_con
+        n_var, n_con = self._qp_dims()
 
         def tick_scan(x_p, ekf, x_plan, u_plan, key):
             (x_p, ekf, _, _, key), (zs, us) = jax.lax.scan(
@@ -435,7 +524,7 @@ class BatchMPC:
                 tick, (x_p, ekf, x_plan, u_plan, key), jnp.arange(N_rep))
             return (x_p, ekf, x_plan, u_plan, warm, key), (zs, us)
 
-        n_var, n_con = self.spec.n_var, self.spec.n_con
+        n_var, n_con = self._qp_dims()
 
         def run(x_plant0, ekf_x0, z_target, key):
             """z_target: (n_windows, N+1, n_z) pre-windowed targets."""
@@ -477,7 +566,8 @@ class BatchSSMMPC:
 
     def __init__(self, model, Qz, R, N: int, dt: float, N_replan: int = 1,
                  U=None, dU=None, qp_iters: int = 100, rho: float = 0.1,
-                 x_step: str = "kinv", dtype=jnp.float64):
+                 x_step: str = "kinv", formulation: str = "sparse",
+                 dtype=jnp.float64):
         self.dt = float(dt)
         self.N = int(N)
         self.N_replan = int(N_replan)
@@ -499,13 +589,51 @@ class BatchSSMMPC:
         rho_vec[self.spec.r_dyn:self.spec.r_dyn + N_ * nx] *= OSQP_RHO_EQ_SCALE
         self.rho_vec = jnp.asarray(rho_vec, dtype)
         self.qp_iters = int(qp_iters)
+        self.formulation = formulation
+        if formulation == "condensed":
+            from soft_robot_control_tpu.scp.locp_condensed import CondensedSpec
+
+            self.cspec = CondensedSpec(self.N, np.asarray(m.H),
+                                       np.asarray(Qz), np.asarray(R), U=U,
+                                       dU=dU, nonlinear_observer=True,
+                                       dtype=dtype)
+            self.rho_vec_c = jnp.full(self.cspec.n_con, rho, dtype)
+        elif formulation != "sparse":
+            raise ValueError(f"unknown formulation {formulation!r}")
         self._run = None
 
-    def _mpc_query(self, x0, x_plan_prev, u_plan_prev, z_win, warm):
-        m, spec = self.model, self.spec
+    def _qp_dims(self):
+        if self.formulation == "condensed":
+            return self.cspec.n_var, self.cspec.n_con
+        return self.spec.n_var, self.spec.n_con
+
+    def _lin_traj(self, x_plan_prev, u_plan_prev):
+        m = self.model
         Ad, Bd, dd = jax.vmap(lambda x, u_: m.get_jacobians(x, u_, self.dt))(
             x_plan_prev[:-1], u_plan_prev)
         Hd, cd = jax.vmap(m.get_observer_jacobians)(x_plan_prev)
+        return Ad, Bd, dd, Hd, cd
+
+    def _condensed_params(self, Ad, Bd, dd, Hd, cd, x0, z_win):
+        from soft_robot_control_tpu.scp.locp_condensed import CondensedParams
+
+        return CondensedParams(
+            Ad=Ad, Bd=Bd, dd=dd, x0=x0, z=z_win,
+            u_des=jnp.zeros((self.N, self.n_u), self.dtype), Hd=Hd, cd=cd)
+
+    def _mpc_query(self, x0, x_plan_prev, u_plan_prev, z_win, warm):
+        m, spec = self.model, self.spec
+        Ad, Bd, dd, Hd, cd = self._lin_traj(x_plan_prev, u_plan_prev)
+        w0, y0 = warm
+        if self.formulation == "condensed":
+            P, q, A, l, u, _, xfree, G = self.cspec.assemble(
+                self._condensed_params(Ad, Bd, dd, Hd, cd, x0, z_win))
+            Kinv = make_kinv(P, A, self.rho_vec_c)
+            w, y = admm_fixed_kinv(Kinv, q, A, l, u, w0, y0, self.rho_vec_c,
+                                   self.qp_iters)
+            u_plan = w.reshape(self.N, self.n_u)
+            x_plan = self.cspec.recover_x(xfree, G, w)
+            return x_plan, u_plan, (w, y)
         params = LOCPParams(
             Ad=Ad, Bd=Bd, dd=dd, x0=x0, xk=x_plan_prev,
             delta=jnp.asarray(1e4, self.dtype),
@@ -514,7 +642,6 @@ class BatchSSMMPC:
             u_des=jnp.zeros((self.N, self.n_u), self.dtype),
             Hd=Hd, cd=cd)
         P, q, A, l, u, _ = spec.assemble(params)
-        w0, y0 = warm
         if self.x_step == "kinv":
             Kinv = make_kinv(P, A, self.rho_vec)
             w, y = admm_fixed_kinv(Kinv, q, A, l, u, w0, y0, self.rho_vec,
@@ -550,7 +677,7 @@ class BatchSSMMPC:
                 tick, (x_p, x_plan, u_plan), jnp.arange(N_rep))
             return (x_p, x_plan, u_plan, warm), (zs, us)
 
-        n_var, n_con = self.spec.n_var, self.spec.n_con
+        n_var, n_con = self._qp_dims()
 
         def run(x_plant0, z_target):
             """z_target: (n_windows, N+1, n_z) SHIFTED targets."""
@@ -577,12 +704,10 @@ class BatchSSMMPC:
         m = self.model
         N, N_rep, dt = self.N, self.N_replan, self.dt
         spec = self.spec
-        n_var, n_con = spec.n_var, spec.n_con
+        n_var, n_con = self._qp_dims()
 
         def assemble_one(x0, x_k, u_k, z_w):
-            Ad, Bd, dd = jax.vmap(lambda x, u_: m.get_jacobians(x, u_, dt))(
-                x_k[:-1], u_k)
-            Hd, cd = jax.vmap(m.get_observer_jacobians)(x_k)
+            Ad, Bd, dd, Hd, cd = self._lin_traj(x_k, u_k)
             params = LOCPParams(
                 Ad=Ad, Bd=Bd, dd=dd, x0=x0, xk=x_k,
                 delta=jnp.asarray(1e4, self.dtype),
@@ -592,12 +717,28 @@ class BatchSSMMPC:
                 Hd=Hd, cd=cd)
             return spec.assemble(params)
 
+        def assemble_one_c(x0, x_k, u_k, z_w):
+            Ad, Bd, dd, Hd, cd = self._lin_traj(x_k, u_k)
+            return self.cspec.assemble(
+                self._condensed_params(Ad, Bd, dd, Hd, cd, x0, z_w))
+
         def query_batched(x0, x_k, u_k, z_win, warm):
             B = x0.shape[0]
+            w0, y0 = warm
+            if self.formulation == "condensed":
+                P, q, A, l, u, _, xfree, G = jax.vmap(assemble_one_c)(
+                    x0, x_k, u_k, z_win)
+                Kinv = jax.vmap(
+                    lambda P_, A_: make_kinv(P_, A_, self.rho_vec_c))(P, A)
+                w, y = admm_batched_pallas(Kinv, A, q, l, u, self.rho_vec_c,
+                                           w0, y0, self.qp_iters,
+                                           interpret=interpret)
+                u_plan = w.reshape(B, N, self.n_u)
+                x_plan = jax.vmap(self.cspec.recover_x)(xfree, G, w)
+                return x_plan, u_plan, (w, y)
             P, q, A, l, u, _ = jax.vmap(assemble_one)(x0, x_k, u_k, z_win)
             Kinv = jax.vmap(lambda P_, A_: make_kinv(P_, A_, self.rho_vec))(
                 P, A)
-            w0, y0 = warm
             w, y = admm_batched_pallas(Kinv, A, q, l, u, self.rho_vec, w0, y0,
                                        self.qp_iters, interpret=interpret)
             x_plan = w[:, spec.off_x:spec.off_u].reshape(B, N + 1, self.n_x)

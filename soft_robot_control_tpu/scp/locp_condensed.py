@@ -1,0 +1,181 @@
+"""Condensed LOCP: eliminate the state trajectory through the dynamics.
+
+The reference's LOCP (sofacontrol/scp/locp.py) keeps x as decision
+variables with N block equality constraints — the right shape for cvxpy +
+sparse OSQP on CPU. On TPU the dense ADMM's cost is set by the KKT size:
+with Diamond-scale nx=42, N=5 that is 272 variables and a (272, 272) K^-1
+per solve. In the real-time MPC mode (trust_region off,
+examples/hardware/diamond_SSM.py:361 max_gusto_iters=0) the dynamics
+equalities can be eliminated exactly by forward substitution:
+
+    x_k = xfree_k + G_k u,   xfree_{k+1} = A_k xfree_k + d_k,
+    G_{k+1} = A_k G_k + B_k E_k   (E_k selects u_k's block)
+
+leaving a QP in u alone (N*nu = 20 variables): identical optimum, ~200x
+smaller KKT. Cost/constraints supported: output tracking through H (or
+time-varying Hd/cd for the nonlinear-observer SSM case, locp.py:231-245),
+R and u_des, U and dU polyhedra, X applied to the predicted states.
+
+Everything is jax-traceable and vmappable; assembly is one lax.scan of
+small matmuls (MXU) per problem.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class CondensedParams(NamedTuple):
+    Ad: jnp.ndarray          # (N, nx, nx)
+    Bd: jnp.ndarray          # (N, nx, nu)
+    dd: jnp.ndarray          # (N, nx)
+    x0: jnp.ndarray          # (nx,)
+    z: jnp.ndarray           # (N+1, nz) targets
+    u_des: jnp.ndarray       # (N, nu)
+    Hd: jnp.ndarray          # (N+1, nz, nx) time-varying output map or zeros
+    cd: jnp.ndarray          # (N+1, nz) output offsets
+
+
+class CondensedSpec:
+    """Static problem structure for the condensed real-time LOCP.
+
+    H: (nz, nx) linear output map (used when nonlinear_observer=False).
+    U/dU: HyperRectangle/Polyhedron-like with .A/.b or .lb/.ub; X acts on
+    the predicted states x_1..x_N.
+    """
+
+    def __init__(self, N: int, H, Qz, R, U=None, dU=None, X=None,
+                 nonlinear_observer: bool = False, dtype=jnp.float32):
+        self.N = int(N)
+        self.H = np.asarray(H)
+        self.n_z, self.n_x = self.H.shape
+        self.Qz = np.asarray(Qz)
+        self.R = np.asarray(R)
+        self.n_u = self.R.shape[0]
+        self.U, self.dU, self.X = U, dU, X
+        self.nonlinear_observer = bool(nonlinear_observer)
+        self.dtype = dtype
+        self.n_var = self.N * self.n_u
+
+        # constraint row layout (all inequalities; no dynamics equalities
+        # remain, so no OSQP equality-rho boost is needed)
+        rows = 0
+        self.r_U = rows
+        if U is not None:
+            self._U_A = np.asarray(U.A)
+            self._U_b = np.asarray(U.b)
+            rows += self.N * self._U_A.shape[0]
+        self.r_dU = rows
+        if dU is not None:
+            self._dU_A = np.asarray(dU.A)
+            self._dU_b = np.asarray(dU.b)
+            rows += (self.N - 1) * self._dU_A.shape[0]
+        self.r_X = rows
+        if X is not None:
+            self._X_A = np.asarray(X.A)
+            self._X_b = np.asarray(X.b)
+            rows += self.N * self._X_A.shape[0]
+        self.n_con = max(rows, 1)  # >=1: assemble emits a vacuous row
+        #                              when unconstrained
+
+    # ------------------------------------------------------------------
+    def predict(self, params: CondensedParams):
+        """Forward-substitution maps: xfree (N+1, nx) and G (N+1, nx, Nu)."""
+        N, nx, nu = self.N, self.n_x, self.n_u
+        dt_ = params.Ad.dtype
+        G0 = jnp.zeros((nx, N * nu), dt_)
+
+        def step(carry, inp):
+            xf, G, k = carry
+            A, B, d = inp
+            G1 = jnp.matmul(A, G, precision=jax.lax.Precision.HIGHEST)
+            blk = jax.lax.dynamic_slice(G1, (0, k * nu), (nx, nu))
+            G1 = jax.lax.dynamic_update_slice(G1, blk + B, (0, k * nu))
+            xf1 = A @ xf + d
+            return (xf1, G1, k + 1), (xf1, G1)
+
+        (_, _, _), (xfs, Gs) = jax.lax.scan(
+            step, (params.x0.astype(dt_), G0, 0),
+            (params.Ad, params.Bd, params.dd))
+        xfree = jnp.concatenate([params.x0.astype(dt_)[None], xfs], axis=0)
+        G = jnp.concatenate([G0[None], Gs], axis=0)
+        return xfree, G
+
+    # ------------------------------------------------------------------
+    def assemble(self, params: CondensedParams):
+        """Build (P, q, A, l, u, const) of 0.5 u'Pu + q'u + const s.t.
+        l <= A u <= u, matching the sparse LOCP objective on its optimum."""
+        N, nx, nu, nz = self.N, self.n_x, self.n_u, self.n_z
+        dt_ = params.Ad.dtype
+        hi = jax.lax.Precision.HIGHEST
+        mm = lambda a, b: jnp.matmul(a, b, precision=hi)
+
+        xfree, G = self.predict(params)
+
+        # output map rows: Hd_k (time-varying, nonlinear observer) or H
+        if self.nonlinear_observer:
+            Hk = params.Hd                                  # (N+1, nz, nx)
+            zoff = params.cd                                # (N+1, nz)
+        else:
+            Hk = jnp.tile(jnp.asarray(self.H, dt_)[None], (N + 1, 1, 1))
+            zoff = jnp.zeros((N + 1, nz), dt_)
+
+        HG = jnp.einsum("kij,kjm->kim", Hk, G, precision=hi)  # (N+1,nz,Nu)
+        e = jnp.einsum("kij,kj->ki", Hk, xfree, precision=hi) + zoff \
+            - params.z.astype(dt_)                             # (N+1, nz)
+        Qz = jnp.asarray(self.Qz, dt_)
+        # stage costs k=1..N (k=0 depends only on x0: constant)
+        P = 2.0 * jnp.einsum("kiv,ij,kjw->vw", HG[1:], Qz, HG[1:],
+                             precision=hi)
+        q = 2.0 * jnp.einsum("kiv,ij,kj->v", HG[1:], Qz, e[1:], precision=hi)
+        const = jnp.einsum("ki,ij,kj->", e[1:], Qz, e[1:], precision=hi)
+        Rb = jnp.kron(jnp.eye(N, dtype=dt_), jnp.asarray(self.R, dt_))
+        P = P + 2.0 * Rb
+        ud = params.u_des.astype(dt_).reshape(-1)
+        q = q - 2.0 * mm(Rb, ud)
+        const = const + ud @ mm(Rb, ud)
+
+        # constraints
+        big = jnp.asarray(1e30, dt_)
+        A_rows, l_rows, u_rows = [], [], []
+        if self.U is not None:
+            UA = jnp.asarray(self._U_A, dt_)
+            Ub = jnp.asarray(self._U_b, dt_)
+            A_rows.append(jnp.kron(jnp.eye(N, dtype=dt_), UA))
+            u_rows.append(jnp.tile(Ub, N))
+            l_rows.append(jnp.full(N * UA.shape[0], -big, dt_))
+        if self.dU is not None:
+            DA = jnp.asarray(self._dU_A, dt_)
+            Db = jnp.asarray(self._dU_b, dt_)
+            D = (jnp.eye(N, dtype=dt_, k=1) - jnp.eye(N, dtype=dt_))[:-1]
+            A_rows.append(jnp.kron(D, DA))
+            u_rows.append(jnp.tile(Db, N - 1))
+            l_rows.append(jnp.full((N - 1) * DA.shape[0], -big, dt_))
+        if self.X is not None:
+            XA = jnp.asarray(self._X_A, dt_)
+            Xb = jnp.asarray(self._X_b, dt_)
+            XG = jnp.einsum("ij,kjm->kim", XA, G[1:], precision=hi)
+            A_rows.append(XG.reshape(-1, self.n_var))
+            u_rows.append((Xb[None] - jnp.einsum(
+                "ij,kj->ki", XA, xfree[1:], precision=hi)).reshape(-1))
+            l_rows.append(jnp.full(N * XA.shape[0], -big, dt_))
+        if A_rows:
+            A = jnp.concatenate(A_rows, axis=0)
+            l = jnp.concatenate(l_rows)
+            u = jnp.concatenate(u_rows)
+        else:  # unconstrained: single vacuous row keeps the ADMM shape-happy
+            A = jnp.zeros((1, self.n_var), dt_)
+            l = jnp.full(1, -big, dt_)
+            u = jnp.full(1, big, dt_)
+
+        return P, q, A, l, u, const, xfree, G
+
+    # ------------------------------------------------------------------
+    def recover_x(self, xfree, G, u_opt):
+        """x trajectory of the optimal input: xfree + G u."""
+        return xfree + jnp.einsum("kim,m->ki", G, u_opt,
+                                  precision=jax.lax.Precision.HIGHEST)

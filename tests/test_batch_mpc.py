@@ -127,6 +127,69 @@ def test_fused_matches_vmapped(setup):
                                    atol=1e-9)
 
 
+def test_condensed_matches_sparse(setup):
+    """The condensed formulation (states eliminated by forward
+    substitution, scp/locp_condensed.py) must reproduce the sparse LOCP's
+    closed loop: same QP optimum, so with enough ADMM iterations both
+    converge to the same plans (f64)."""
+    from soft_robot_control_tpu.core.constraints import HyperRectangle
+
+    plant, rom, model, Hf, Cf, X, dt = setup
+    U = HyperRectangle(3.0 * np.ones(4), np.zeros(4))
+    kw = dict(N=4, dt=dt, N_replan=2, qp_iters=600, dtype=jnp.float64,
+              x_step="kinv", U=U,
+              W=1e-2 * np.eye(model.state_dim),
+              V=1e-4 * np.eye(model.C.shape[0]))
+    runs = {}
+    z0 = float(X[0] @ Hf[0])
+    x0 = np.asarray(rom.project_x(jnp.asarray(X[0])))
+    n_win = 5
+    T = n_win * 2 + 4 + 1
+    zt = window_targets(np.full((T, 1), z0 + 0.05), n_win, 2, 4)
+    for form in ("sparse", "condensed"):
+        mpc = BatchMPC(model, np.array([[100.0]]), 1e-3 * np.eye(4),
+                       formulation=form, **kw)
+        run = mpc.build(n_win)
+        runs[form] = jax.jit(run)(jnp.asarray(x0), jnp.asarray(x0),
+                                  jnp.asarray(zt), jax.random.PRNGKey(1))
+    for k in ("z", "u"):
+        np.testing.assert_allclose(np.asarray(runs["condensed"][k]),
+                                   np.asarray(runs["sparse"][k]), atol=2e-5)
+    # the input constraint is active and respected to ADMM's finite-
+    # iteration primal tolerance
+    u = np.asarray(runs["condensed"]["u"])
+    assert u.max() <= 3.0 + 1e-2 and u.min() >= -1e-2
+    assert u.max() > 2.99  # the bound actually binds in this problem
+
+
+def test_condensed_fused_matches_vmapped(setup):
+    """Condensed formulation through the grid-batched Pallas launch."""
+    plant, rom, model, Hf, Cf, X, dt = setup
+    mpc = BatchMPC(model, np.array([[100.0]]), 1e-3 * np.eye(4), N=4, dt=dt,
+                   N_replan=2, qp_iters=40, dtype=jnp.float64, x_step="kinv",
+                   formulation="condensed",
+                   W=1e-2 * np.eye(model.state_dim),
+                   V=1e-4 * np.eye(model.C.shape[0]))
+    n_win = 5
+    run = mpc.build(n_win)
+    run_f = mpc.build_fused(n_win)
+    z0 = float(X[0] @ Hf[0])
+    x0 = np.asarray(rom.project_x(jnp.asarray(X[0])))
+    T = n_win * 2 + 4 + 1
+    B = 3
+    rng = np.random.default_rng(4)
+    offs = rng.uniform(0.03, 0.07, size=B)
+    zt = np.stack([window_targets(np.full((T, 1), z0 + o), n_win, 2, 4)
+                   for o in offs])
+    x0B = jnp.tile(x0, (B, 1))
+    keys = jax.random.split(jax.random.PRNGKey(5), B)
+    ref = mpc.run_batch(x0B, x0B, jnp.asarray(zt), keys)
+    fused = run_f(x0B, x0B, jnp.asarray(zt), keys)
+    for k in ["z", "u"]:
+        np.testing.assert_allclose(np.asarray(fused[k]), np.asarray(ref[k]),
+                                   atol=1e-9)
+
+
 def test_kinv_xstep_matches_chol(setup):
     """The precomputed-K^-1 ADMM variant must agree with the cho_solve
     variant (f64)."""

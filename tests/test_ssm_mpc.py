@@ -224,3 +224,43 @@ def test_batched_ssm_mpc_fused_matches(ssm_model):
         # ill-conditioned QP; 1e-4 still pins identical semantics
         np.testing.assert_allclose(np.asarray(fused[k]), np.asarray(ref[k]),
                                    atol=1e-4)
+
+
+@pytest.mark.slow
+def test_batched_ssm_mpc_condensed_matches_sparse(ssm_model):
+    """The condensed nonlinear-observer LOCP (time-varying Hd/cd through
+    the forward-substitution maps) must agree with the sparse LOCP closed
+    loop at high ADMM iteration counts."""
+    from soft_robot_control_tpu.control.batch_mpc import BatchSSMMPC, window_targets
+
+    model = ssm_model
+    dt = 0.02
+    N, N_replan = 3, 2
+    nz = model.output_dim
+    Qz = np.zeros((nz, nz))
+    Qz[0, 0] = Qz[1, 1] = 100.0
+    R = 1e-7 * np.eye(model.input_dim)
+
+    n_windows = 8
+    runs = {}
+    for form in ("sparse", "condensed"):
+        mpc = BatchSSMMPC(model, Qz, R, N=N, dt=dt, N_replan=N_replan,
+                          qp_iters=800, formulation=form, dtype=jnp.float64)
+        run_f = mpc.build_fused(n_windows)
+        B = 2
+        rng = np.random.default_rng(1)
+        phases = rng.uniform(0, 2 * np.pi, size=B)
+        amp = 2.0
+        T = n_windows * N_replan + N + 1
+        t = dt * np.arange(T)
+        zt = []
+        for b in range(B):
+            z = np.zeros((T, nz))
+            z[:, 0] = amp * np.cos(2 * np.pi * t / 6.0 + phases[b]) - amp * np.cos(phases[b])
+            z[:, 1] = amp * np.sin(2 * np.pi * t / 6.0 + phases[b]) - amp * np.sin(phases[b])
+            zt.append(window_targets(z, n_windows, N_replan, N))
+        runs[form] = run_f(jnp.zeros((B, model.state_dim)),
+                           jnp.asarray(np.stack(zt)))
+    for k in ["z", "u"]:
+        np.testing.assert_allclose(np.asarray(runs["condensed"][k]),
+                                   np.asarray(runs["sparse"][k]), atol=2e-4)
