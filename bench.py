@@ -129,6 +129,10 @@ def main():
     from soft_robot_control_tpu.scp.gusto_jit import GuSTOJit
 
     g_model = TPWLGuSTO(model_d)
+    # headline: condensed formulation (TR as affine rows + one slack)
+    gj_c = GuSTOJit(g_model, N=5, dt=dt, Qz=100.0 * np.eye(6),
+                    R=1e-3 * np.eye(4), max_iters=5, qp_iters=50,
+                    x_step="kinv", formulation="condensed", dtype=dtype)
     gj = GuSTOJit(g_model, N=5, dt=dt, Qz=100.0 * np.eye(6),
                   R=1e-3 * np.eye(4), max_iters=5, qp_iters=50,
                   x_step="kinv", dtype=dtype)
@@ -143,9 +147,12 @@ def main():
     # SCP iteration (identical per-element results; ~10x the vmapped
     # while_loop whose batched XLA ADMM refetches K^-1/A from HBM each
     # iteration)
-    t_g = timeit(lambda: gj.solve_batch_fused(x0g, u0g, xig, zg), warmup=1,
+    t_g = timeit(lambda: gj_c.solve_batch_fused(x0g, u0g, xig, zg), warmup=1,
                  iters=5)
     gusto_solves_per_sec = Bg / t_g
+    t_gs = timeit(lambda: gj.solve_batch_fused(x0g, u0g, xig, zg), warmup=1,
+                  iters=5)
+    gusto_solves_per_sec_sparse = Bg / t_gs
     t_gx = timeit(lambda: gj.solve_batch(x0g, u0g, xig, zg), warmup=1,
                   iters=5)
     gusto_solves_per_sec_xla = Bg / t_gx
@@ -163,6 +170,7 @@ def main():
             "batched_mpc_windows_per_sec_1024way_sparse": round(batch_mpc_steps_per_sec_sparse, 1),
             "batched_mpc_windows_per_sec_1024way_xla": round(batch_mpc_steps_per_sec_xla, 1),
             "batched_full_gusto_solves_per_sec_64way": round(gusto_solves_per_sec, 1),
+            "batched_full_gusto_solves_per_sec_64way_sparse": round(gusto_solves_per_sec_sparse, 1),
             "batched_full_gusto_solves_per_sec_64way_xla": round(gusto_solves_per_sec_xla, 1),
             "device": str(jax.devices()[0]),
         },

@@ -59,7 +59,7 @@ class GuSTOJit:
                  beta_fail=BETA_FAIL, gamma_fail=GAMMA_FAIL,
                  omega_max=OMEGA_MAX, epsilon=EPSILON,
                  convg_thresh=CONVERGE, x_step: str = "chol",
-                 dtype=jnp.float64):
+                 formulation: str = "sparse", dtype=jnp.float64):
         self.model = model
         self.N = int(N)
         self.dt = float(dt)
@@ -90,6 +90,21 @@ class GuSTOJit:
         rho_vec[self.spec.r_dyn:self.spec.r_dyn + N_ * nx] *= OSQP_RHO_EQ_SCALE
         self.rho_vec = jnp.asarray(rho_vec, dtype)
 
+        # condensed formulation: states eliminated, trust region as affine
+        # rows with one slack (scp/locp_condensed.py) — same optimum,
+        # (N*nu+1)^2 KKT
+        self.formulation = formulation
+        if formulation == "condensed":
+            from soft_robot_control_tpu.scp.locp_condensed import CondensedSpec
+
+            self.cspec = CondensedSpec(
+                self.N, np.asarray(model.H), np.asarray(Qz), np.asarray(R),
+                U=U, dU=dU, X=X, trust_region=True, x_char=x_char,
+                dtype=dtype)
+            self.rho_vec_c = jnp.full(self.cspec.n_con, rho_qp, dtype)
+        elif formulation != "sparse":
+            raise ValueError(f"unknown formulation {formulation!r}")
+
         self._solve = jax.jit(self._build())
 
     # ------------------------------------------------------------------
@@ -107,6 +122,22 @@ class GuSTOJit:
 
         def qp(x_k, u_k, x0, z, u_des, delta, omega, warm):
             Ad, Bd, dd = lin_d(x_k[:-1], u_k)
+            if self.formulation == "condensed":
+                from soft_robot_control_tpu.scp.locp_condensed import CondensedParams
+
+                cp = CondensedParams(
+                    Ad=Ad, Bd=Bd, dd=dd, x0=x0, z=z, u_des=u_des,
+                    Hd=jnp.zeros((N + 1, n_z, n_x), self.dtype),
+                    cd=jnp.zeros((N + 1, n_z), self.dtype),
+                    xk=x_k, delta=delta, omega=omega)
+                P, q, A, l, u_b, const, xfree, G = self.cspec.assemble(cp)
+                Kinv = make_kinv(P, A, self.rho_vec_c)
+                w, y = admm_fixed_kinv(Kinv, q, A, l, u_b, warm[0], warm[1],
+                                       self.rho_vec_c, qp_iters)
+                u_n = w[:N * n_u].reshape(N, n_u)
+                x_n = self.cspec.recover_x(xfree, G, w)
+                J = 0.5 * w @ (P @ w) + q @ w + const
+                return x_n, u_n, J, (w, y)
             params = LOCPParams(
                 Ad=Ad, Bd=Bd, dd=dd, x0=x0, xk=x_k, delta=delta, omega=omega,
                 z=z, zf=jnp.zeros(n_z, self.dtype), u_des=u_des,
@@ -186,8 +217,10 @@ class GuSTOJit:
                         jnp.where(accept, J, J_last))
 
             inf = jnp.asarray(jnp.inf, self.dtype)
-            warm0 = (jnp.zeros(spec.n_var, self.dtype),
-                     jnp.zeros(spec.n_con, self.dtype))
+            nv, nc = ((self.cspec.n_var, self.cspec.n_con)
+                      if self.formulation == "condensed"
+                      else (spec.n_var, spec.n_con))
+            warm0 = (jnp.zeros(nv, self.dtype), jnp.zeros(nc, self.dtype))
             c0 = (x_init.astype(self.dtype), u_init.astype(self.dtype),
                   p["delta0"], p["omega0"], inf, inf, inf,
                   jnp.asarray(0), jnp.asarray(False), warm0, inf)
@@ -248,8 +281,32 @@ class GuSTOJit:
                 cd=jnp.zeros((N + 1, n_z), self.dtype))
             return spec.assemble(params)
 
+        def assemble_one_c(x_k, u_k, x0, z, u_des, delta, omega):
+            from soft_robot_control_tpu.scp.locp_condensed import CondensedParams
+
+            Ad, Bd, dd = lin_d(x_k[:-1], u_k)
+            cp = CondensedParams(
+                Ad=Ad, Bd=Bd, dd=dd, x0=x0, z=z, u_des=u_des,
+                Hd=jnp.zeros((N + 1, n_z, n_x), self.dtype),
+                cd=jnp.zeros((N + 1, n_z), self.dtype),
+                xk=x_k, delta=delta, omega=omega)
+            return self.cspec.assemble(cp)
+
         def qp_b(x_k, u_k, x0, z, u_des, delta, omega, warm):
             B = x_k.shape[0]
+            if self.formulation == "condensed":
+                P, q, A, l, u_b, const, xfree, G = jax.vmap(assemble_one_c)(
+                    x_k, u_k, x0, z, u_des, delta, omega)
+                Kinv = jax.vmap(
+                    lambda P_, A_: make_kinv(P_, A_, self.rho_vec_c))(P, A)
+                w, y = admm_batched_pallas(Kinv, A, q, l, u_b,
+                                           self.rho_vec_c, warm[0], warm[1],
+                                           qp_iters, interpret=interpret)
+                u_n = w[:, :N * n_u].reshape(B, N, n_u)
+                x_n = jax.vmap(self.cspec.recover_x)(xfree, G, w)
+                J = 0.5 * jnp.einsum("bi,bij,bj->b", w, P, w) \
+                    + jnp.einsum("bi,bi->b", q, w) + const
+                return x_n, u_n, J, (w, y)
             P, q, A, l, u_b, const = jax.vmap(assemble_one)(
                 x_k, u_k, x0, z, u_des, delta, omega)
             Kinv = jax.vmap(lambda P_, A_: make_kinv(P_, A_, rho_vec))(P, A)
@@ -323,8 +380,11 @@ class GuSTOJit:
                         warm, jnp.where(accept, J, J_last))
 
             inf = jnp.full(B, jnp.inf, self.dtype)
-            warm0 = (jnp.zeros((B, spec.n_var), self.dtype),
-                     jnp.zeros((B, spec.n_con), self.dtype))
+            nv, nc = ((self.cspec.n_var, self.cspec.n_con)
+                      if self.formulation == "condensed"
+                      else (spec.n_var, spec.n_con))
+            warm0 = (jnp.zeros((B, nv), self.dtype),
+                     jnp.zeros((B, nc), self.dtype))
             c0 = (x_init.astype(self.dtype), u_init.astype(self.dtype),
                   jnp.full(B, p["delta0"], self.dtype),
                   jnp.full(B, p["omega0"], self.dtype), inf, inf, inf,

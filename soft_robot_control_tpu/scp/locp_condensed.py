@@ -38,6 +38,10 @@ class CondensedParams(NamedTuple):
     u_des: jnp.ndarray       # (N, nu)
     Hd: jnp.ndarray          # (N+1, nz, nx) time-varying output map or zeros
     cd: jnp.ndarray          # (N+1, nz) output offsets
+    # trust-region fields (used when the spec has trust_region=True)
+    xk: Optional[jnp.ndarray] = None      # (N+1, nx) linearization traj
+    delta: Optional[jnp.ndarray] = None   # scalar TR radius
+    omega: Optional[jnp.ndarray] = None   # scalar slack weight
 
 
 class CondensedSpec:
@@ -49,7 +53,8 @@ class CondensedSpec:
     """
 
     def __init__(self, N: int, H, Qz, R, U=None, dU=None, X=None,
-                 nonlinear_observer: bool = False, dtype=jnp.float32):
+                 nonlinear_observer: bool = False, trust_region: bool = False,
+                 x_char=None, dtype=jnp.float32):
         self.N = int(N)
         self.H = np.asarray(H)
         self.n_z, self.n_x = self.H.shape
@@ -58,8 +63,15 @@ class CondensedSpec:
         self.n_u = self.R.shape[0]
         self.U, self.dU, self.X = U, dU, X
         self.nonlinear_observer = bool(nonlinear_observer)
+        # trust region (GuSTO): scaled inf-norm |x_scale (x_k - xk_k)| <=
+        # delta + s with one shared nonnegative slack s (locp.py:13,21-24
+        # semantics) — affine in u through the prediction map, so it
+        # condenses too at the cost of ONE extra variable
+        self.trust_region = bool(trust_region)
+        x_char = np.ones(self.n_x) if x_char is None else np.asarray(x_char)
+        self.x_scale = 1.0 / np.abs(x_char)
         self.dtype = dtype
-        self.n_var = self.N * self.n_u
+        self.n_var = self.N * self.n_u + (1 if trust_region else 0)
 
         # constraint row layout (all inequalities; no dynamics equalities
         # remain, so no OSQP equality-rho boost is needed)
@@ -79,6 +91,9 @@ class CondensedSpec:
             self._X_A = np.asarray(X.A)
             self._X_b = np.asarray(X.b)
             rows += self.N * self._X_A.shape[0]
+        self.r_tr = rows
+        if trust_region:
+            rows += 2 * self.N * self.n_x + 1  # +/- sides and s >= 0
         self.n_con = max(rows, 1)  # >=1: assemble emits a vacuous row
         #                              when unconstrained
 
@@ -128,16 +143,22 @@ class CondensedSpec:
         e = jnp.einsum("kij,kj->ki", Hk, xfree, precision=hi) + zoff \
             - params.z.astype(dt_)                             # (N+1, nz)
         Qz = jnp.asarray(self.Qz, dt_)
-        # stage costs k=1..N (k=0 depends only on x0: constant)
+        # stage costs k=1..N plus the k=0 stage as a constant (x_0 = x0 is
+        # u-free; the sparse spec sums k=0..N, locp.py:139 — keep J equal)
         P = 2.0 * jnp.einsum("kiv,ij,kjw->vw", HG[1:], Qz, HG[1:],
                              precision=hi)
         q = 2.0 * jnp.einsum("kiv,ij,kj->v", HG[1:], Qz, e[1:], precision=hi)
-        const = jnp.einsum("ki,ij,kj->", e[1:], Qz, e[1:], precision=hi)
+        const = jnp.einsum("ki,ij,kj->", e, Qz, e, precision=hi)
         Rb = jnp.kron(jnp.eye(N, dtype=dt_), jnp.asarray(self.R, dt_))
         P = P + 2.0 * Rb
         ud = params.u_des.astype(dt_).reshape(-1)
         q = q - 2.0 * mm(Rb, ud)
         const = const + ud @ mm(Rb, ud)
+        n_u_var = N * nu
+        if self.trust_region:
+            # append the slack variable s: quadratic 0, linear omega
+            P = jnp.pad(P, ((0, 1), (0, 1)))
+            q = jnp.concatenate([q, params.omega.astype(dt_)[None]])
 
         # constraints
         big = jnp.asarray(1e30, dt_)
@@ -159,10 +180,32 @@ class CondensedSpec:
             XA = jnp.asarray(self._X_A, dt_)
             Xb = jnp.asarray(self._X_b, dt_)
             XG = jnp.einsum("ij,kjm->kim", XA, G[1:], precision=hi)
-            A_rows.append(XG.reshape(-1, self.n_var))
+            A_rows.append(XG.reshape(-1, n_u_var))
             u_rows.append((Xb[None] - jnp.einsum(
                 "ij,kj->ki", XA, xfree[1:], precision=hi)).reshape(-1))
             l_rows.append(jnp.full(N * XA.shape[0], -big, dt_))
+        if A_rows and self.trust_region:
+            # existing rows get a zero s column
+            A_rows = [jnp.pad(Ar, ((0, 0), (0, 1))) for Ar in A_rows]
+        if self.trust_region:
+            xs = jnp.asarray(self.x_scale, dt_)
+            dx_free = xs[None, :] * (xfree[1:] - params.xk.astype(dt_)[1:])
+            SG = xs[None, :, None] * G[1:]            # (N, nx, Nu)
+            SG = SG.reshape(N * nx, n_u_var)
+            ones = jnp.ones((N * nx, 1), dt_)
+            delta = params.delta.astype(dt_)
+            #  x_scale(x - xk) - s <= delta   and  -x_scale(x - xk) - s <= delta
+            A_rows.append(jnp.concatenate([SG, -ones], axis=1))
+            u_rows.append(delta - dx_free.reshape(-1))
+            l_rows.append(jnp.full(N * nx, -big, dt_))
+            A_rows.append(jnp.concatenate([-SG, -ones], axis=1))
+            u_rows.append(delta + dx_free.reshape(-1))
+            l_rows.append(jnp.full(N * nx, -big, dt_))
+            # s >= 0
+            srow = jnp.zeros((1, self.n_var), dt_).at[0, -1].set(1.0)
+            A_rows.append(srow)
+            l_rows.append(jnp.zeros(1, dt_))
+            u_rows.append(jnp.full(1, big, dt_))
         if A_rows:
             A = jnp.concatenate(A_rows, axis=0)
             l = jnp.concatenate(l_rows)
@@ -176,6 +219,9 @@ class CondensedSpec:
 
     # ------------------------------------------------------------------
     def recover_x(self, xfree, G, u_opt):
-        """x trajectory of the optimal input: xfree + G u."""
+        """x trajectory of the optimal input: xfree + G u. With the trust
+        region active, u_opt may include the trailing slack — only the
+        input part enters the prediction."""
+        u_opt = u_opt[:self.N * self.n_u]
         return xfree + jnp.einsum("kim,m->ki", G, u_opt,
                                   precision=jax.lax.Precision.HIGHEST)

@@ -113,6 +113,31 @@ def test_gusto_jit_fused_matches_vmapped():
                                atol=1e-6)
 
 
+def test_gusto_jit_condensed_matches_sparse():
+    """The condensed GuSTO (states eliminated, TR as affine rows + one
+    slack) must reach the same solution quality as the sparse LOCP GuSTO
+    and obey the input bounds; with high ADMM iteration counts the SCP
+    paths coincide."""
+    N, dt = 20, 0.1
+    model, Qz, R, U, z, x0, u_init, x_init = _dubins_problem(N, dt)
+    kw = dict(max_iters=10, qp_iters=1500, x_step="kinv")
+    dev_s = GuSTOJit(model, N, dt, Qz, R, U=U, formulation="sparse", **kw)
+    dev_c = GuSTOJit(model, N, dt, Qz, R, U=U, formulation="condensed", **kw)
+    rs = dev_s.solve(x0, u_init, x_init, z)
+    rc = dev_c.solve(x0, u_init, x_init, z)
+    assert bool(rc.converged)
+    u_c = np.asarray(rc.u)
+    assert np.all(u_c[:, 0] >= -1e-4) and np.all(u_c[:, 0] <= 1 + 1e-4)
+    # same converged trajectory (both solve the same sequence of QPs)
+    np.testing.assert_allclose(np.asarray(rc.x), np.asarray(rs.x), atol=5e-3)
+    # true rollout cost comparable
+    def cost(u):
+        xs = np.asarray(model.rollout(x0, u, dt))
+        dz = xs - np.asarray(z)
+        return float(np.einsum("ki,ij,kj->", dz, np.asarray(Qz), dz))
+    assert cost(np.asarray(rc.u)) <= 1.1 * cost(np.asarray(rs.u)) + 1e-9
+
+
 def test_gusto_jit_state_constraints():
     """X polytope keeps the device-GuSTO trajectory inside the box."""
     N, dt = 25, 0.1
@@ -131,3 +156,11 @@ def test_gusto_jit_state_constraints():
     x = np.asarray(res.x)
     assert np.max(x[1:, 0]) <= 0.6 + 5e-3, np.max(x[1:, 0])
     assert np.max(x[1:, 0]) > 0.4  # pushes toward the bound
+    # condensed: X rows act on the predicted states (regression: the row
+    # width must be the input block, not n_var with the TR slack)
+    dev_c = GuSTOJit(model, N, dt, Qz, R, U=U, X=X, max_iters=20,
+                     qp_iters=800, x_step="kinv", formulation="condensed")
+    res_c = dev_c.solve(x0, u_init, x_init, z_tgt)
+    x_c = np.asarray(res_c.x)
+    assert np.max(x_c[1:, 0]) <= 0.6 + 5e-3, np.max(x_c[1:, 0])
+    assert np.max(x_c[1:, 0]) > 0.4
