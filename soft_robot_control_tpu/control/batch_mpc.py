@@ -20,8 +20,6 @@ gains, tpwl/controllers.py:239-246,326-333), restructured for the compiler:
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -22,7 +22,7 @@ Semantics follow gusto.py:283-488 (and the reference's modifications 1 and
 from __future__ import annotations
 
 from functools import partial  # noqa: F401 (kept for symmetry)
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
