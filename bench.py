@@ -36,27 +36,32 @@ def timeit(fn, *args, warmup=2, iters=10):
 
 def main():
     from soft_robot_control_tpu.control.batch_mpc import BatchMPC
+    from soft_robot_control_tpu.core.constraints import HyperRectangle
     from soft_robot_control_tpu.models.tpwl import rollout_batch
     from soft_robot_control_tpu.tasks.demo import demo_targets, make_demo_tpwl
 
     dtype = jnp.float32
-    # Diamond scale: r=21 -> n_x=42, m=4, n_z=6 (SURVEY.md §6 problem sizes)
+    # Diamond scale: r=21 -> n_x=42, m=4, n_z=6 (SURVEY.md §6 problem sizes);
+    # cable bounds u in [0, 1500] like the calibrated hardware Diamond
+    # (examples/hardware/model.py u_max=1500) so every QP carries the
+    # production constraint rows
     model = make_demo_tpwl(r=21, P=64, m=4, nz=6, nf=64, dtype=np.float32)
     dt = 0.02
     N, N_replan = 5, 2
+    U = HyperRectangle(1500.0 * np.ones(4), np.zeros(4))
 
     # Pallas ADMM kernel for the single-loop latency metric; plain XLA for
     # the 1024-way vmapped section (vmap-of-pallas compiles poorly today)
     mpc = BatchMPC(model, 100.0 * np.eye(6), 1e-3 * np.eye(4), N=N, dt=dt,
                    N_replan=N_replan, qp_iters=50, scp_iters=1, dtype=dtype,
-                   use_pallas=True,
+                   use_pallas=True, U=U,
                    W=1e-2 * np.eye(model.state_dim),
                    V=1e-4 * np.eye(model.C.shape[0]))
     # batched path: precomputed-K^-1 iterations (batched triangular solves
     # would otherwise dominate at 1024-way)
     mpc_xla = BatchMPC(model, 100.0 * np.eye(6), 1e-3 * np.eye(4), N=N, dt=dt,
                        N_replan=N_replan, qp_iters=50, scp_iters=1,
-                       dtype=dtype, x_step="kinv",
+                       dtype=dtype, x_step="kinv", U=U,
                        W=1e-2 * np.eye(model.state_dim),
                        V=1e-4 * np.eye(model.C.shape[0]))
 
@@ -112,6 +117,7 @@ def main():
     mpc_cond = BatchMPC(model, 100.0 * np.eye(6), 1e-3 * np.eye(4), N=N,
                         dt=dt, N_replan=N_replan, qp_iters=50, scp_iters=1,
                         dtype=dtype, x_step="kinv", formulation="condensed",
+                        U=U,
                         W=1e-2 * np.eye(model.state_dim),
                         V=1e-4 * np.eye(model.C.shape[0]))
     runC = mpc_cond.build_fused(n_win)
@@ -131,10 +137,10 @@ def main():
     g_model = TPWLGuSTO(model_d)
     # headline: condensed formulation (TR as affine rows + one slack)
     gj_c = GuSTOJit(g_model, N=5, dt=dt, Qz=100.0 * np.eye(6),
-                    R=1e-3 * np.eye(4), max_iters=5, qp_iters=50,
+                    R=1e-3 * np.eye(4), U=U, max_iters=5, qp_iters=50,
                     x_step="kinv", formulation="condensed", dtype=dtype)
     gj = GuSTOJit(g_model, N=5, dt=dt, Qz=100.0 * np.eye(6),
-                  R=1e-3 * np.eye(4), max_iters=5, qp_iters=50,
+                  R=1e-3 * np.eye(4), U=U, max_iters=5, qp_iters=50,
                   x_step="kinv", dtype=dtype)
     Bg = 64
     rng2 = np.random.default_rng(2)
