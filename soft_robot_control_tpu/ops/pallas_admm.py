@@ -129,6 +129,70 @@ def _admm_kinv_kernel(iters: int, sigma: float, alpha: float,
     y_out[0] = y
 
 
+def _admm_chunk_kernel(iters: int, sigma: float, alpha: float,
+                       Kinv_ref, A_ref, AT_ref, q_ref, l_ref, u_ref, rho_ref,
+                       w0_ref, y0_ref, w_out, y_out):
+    """One grid cell solves a CHUNK of QPs with batched contractions.
+
+    For small KKTs (the condensed LOCP: n ~ N*nu ~ 20) a per-QP grid wastes
+    the vector unit — 1024 sequential cells of (1, n) row ops. Batching a
+    chunk per cell turns every step into (C, n)-wide ops (5.5x measured at
+    n=20, m=40, B=1024). Mosaic's batched dot_general needs the contracting
+    dim last on both sides, hence the separate A and A^T inputs."""
+    dt = Kinv_ref.dtype
+    hi = jax.lax.Precision.HIGHEST
+    bmm = lambda M, v: jax.lax.dot_general(
+        M, v, (((2,), (1,)), ((0,), (0,))), precision=hi,
+        preferred_element_type=dt)
+    Kinv = Kinv_ref[:]   # (C, n, n)
+    A = A_ref[:]         # (C, m, n)
+    AT = AT_ref[:]       # (C, n, m)
+    q = q_ref[:]
+    l = l_ref[:]
+    u = u_ref[:]
+    rho = rho_ref[:]
+    w = w0_ref[:]
+    y = y0_ref[:]
+    z = jnp.clip(bmm(A, w), l, u)
+
+    def body(i, carry):
+        w, z, y = carry
+        rhs = sigma * w - q + bmm(AT, rho * z - y)
+        x_t = bmm(Kinv, rhs)
+        z_t = bmm(A, x_t)
+        w_new = alpha * x_t + (1 - alpha) * w
+        z_rel = alpha * z_t + (1 - alpha) * z
+        z_new = jnp.clip(z_rel + y / rho, l, u)
+        y_new = y + rho * (z_rel - z_new)
+        return w_new, z_new, y_new
+
+    w, z, y = jax.lax.fori_loop(0, iters, body, (w, z, y))
+    w_out[:] = w
+    y_out[:] = y
+
+
+def _pick_chunk(B: int, n: int, m: int, itemsize: int = 4,
+                budget: int = 4 * 2**20) -> int:
+    """Largest power-of-two chunk whose per-cell VMEM footprint fits the
+    budget; 0 means use the per-QP grid. The budget is deliberately ~1/4
+    of physical VMEM: Mosaic pads the second-minor dim to sublane tiles
+    and double-buffers pipelined blocks, so the true footprint is a small
+    multiple of this estimate (chunk=128 at n=20/m=40 compiles standalone
+    but OOMs inside the full MPC program)."""
+    pad = lambda d: -(-d // 128) * 128
+    pad8 = lambda d: -(-d // 8) * 8
+    per = itemsize * (pad8(n) * pad(n) + pad8(m) * pad(n)   # Kinv, A
+                      + pad8(n) * pad(m)                    # AT
+                      + 8 * pad(max(n, m)))                 # vector rows
+    c = min(budget // max(per, 1), B)
+    chunk = 1
+    while chunk * 2 <= c and B % (chunk * 2) == 0:
+        chunk *= 2
+    if chunk < 8:
+        return 0
+    return chunk
+
+
 @partial(jax.jit, static_argnames=("iters", "sigma", "alpha", "interpret"))
 def admm_batched_pallas(Kinv, A, q, l, u, rho_vec, w0, y0, iters: int,
                         sigma: float = 1e-6, alpha: float = 1.6,
@@ -143,9 +207,44 @@ def admm_batched_pallas(Kinv, A, q, l, u, rho_vec, w0, y0, iters: int,
     refetch. Grid batching also avoids vmap-of-pallas, which compiles
     pathologically today.
 
+    Small KKTs (condensed LOCP) are automatically dispatched to the
+    chunk-batched kernel (_admm_chunk_kernel) when a power-of-two chunk
+    fits VMEM — one grid cell then solves e.g. 64 QPs with batched ops.
+
     Kinv: (B, n, n) symmetric; A: (B, m, n); q, w0: (B, n);
     l, u, y0: (B, m); rho_vec: (m,) shared. Returns (w, y) of (B, n)/(B, m).
     """
+    B, n = q.shape
+    m = A.shape[1]
+    chunk = _pick_chunk(B, n, m, jnp.dtype(Kinv.dtype).itemsize)
+    if chunk:
+        dt = Kinv.dtype
+        kern = partial(_admm_chunk_kernel, iters, float(sigma), float(alpha))
+        G = B // chunk
+        mat = lambda d2, d3: pl.BlockSpec((chunk, d2, d3),
+                                          lambda i: (i, 0, 0))
+        vec = lambda d: pl.BlockSpec((chunk, d), lambda i: (i, 0))
+        w, y = pl.pallas_call(
+            kern, grid=(G,),
+            out_shape=(jax.ShapeDtypeStruct((B, n), dt),
+                       jax.ShapeDtypeStruct((B, m), dt)),
+            in_specs=[mat(n, n), mat(m, n), mat(n, m), vec(n), vec(m),
+                      vec(m), pl.BlockSpec((1, m), lambda i: (0, 0)),
+                      vec(n), vec(m)],
+            out_specs=(vec(n), vec(m)),
+            interpret=interpret,
+        )(Kinv, A.astype(dt), jnp.swapaxes(A, 1, 2).astype(dt),
+          q.astype(dt), l.astype(dt), u.astype(dt),
+          rho_vec.reshape(1, -1).astype(dt), w0.astype(dt), y0.astype(dt))
+        return w, y
+    return _admm_batched_pallas_grid(Kinv, A, q, l, u, rho_vec, w0, y0,
+                                     iters, sigma, alpha, interpret)
+
+
+def _admm_batched_pallas_grid(Kinv, A, q, l, u, rho_vec, w0, y0, iters: int,
+                              sigma: float = 1e-6, alpha: float = 1.6,
+                              interpret: bool = False):
+    """Per-QP grid variant (one program instance per problem)."""
     B, n = q.shape
     m = A.shape[1]
     dt = Kinv.dtype

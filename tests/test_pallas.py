@@ -85,3 +85,32 @@ def test_pallas_tpwl_gather_matches_model():
     np.testing.assert_allclose(np.asarray(A_p), np.asarray(ref[0]), atol=1e-10)
     np.testing.assert_allclose(np.asarray(B_p), np.asarray(ref[1]), atol=1e-10)
     np.testing.assert_allclose(np.asarray(d_p), np.asarray(ref[2]), atol=1e-10)
+
+
+@pytest.mark.parametrize("B,n,m", [(32, 12, 16), (64, 20, 40)])
+def test_pallas_admm_chunked_matches_grid(B, n, m):
+    """The chunk-batched small-QP kernel must match the per-QP grid path
+    (auto-dispatch picks chunking for these sizes; force both here)."""
+    from soft_robot_control_tpu.control.batch_mpc import make_kinv
+    from soft_robot_control_tpu.ops.pallas_admm import (
+        _admm_batched_pallas_grid, _pick_chunk, admm_batched_pallas)
+
+    assert _pick_chunk(B, n, m, 8) >= 8  # chunked path engages at f64
+    rng = np.random.default_rng(B + n)
+    Ph = rng.normal(size=(B, n, n))
+    P = jnp.asarray(Ph @ Ph.transpose(0, 2, 1) + 0.1 * np.eye(n))
+    q = jnp.asarray(rng.normal(size=(B, n)))
+    A = jnp.asarray(rng.normal(size=(B, m, n)))
+    mid = np.einsum("bmn,bn->bm", np.asarray(A), rng.normal(size=(B, n)) * 0.2)
+    l = jnp.asarray(mid - rng.uniform(0.1, 1, (B, m)))
+    u = jnp.asarray(mid + rng.uniform(0.1, 1, (B, m)))
+    rho = jnp.asarray(0.1 * np.ones(m))
+    w0 = jnp.zeros((B, n))
+    y0 = jnp.zeros((B, m))
+    Kinv = jax.vmap(lambda P_, A_: make_kinv(P_, A_, rho))(P, A)
+    w1, y1 = admm_batched_pallas(Kinv, A, q, l, u, rho, w0, y0, 150,
+                                 interpret=True)
+    w2, y2 = _admm_batched_pallas_grid(Kinv, A, q, l, u, rho, w0, y0, 150,
+                                       interpret=True)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-10)
