@@ -82,6 +82,10 @@ class DiscreteEKFObserver:
         return self.state.x
 
     @property
+    def Sigma(self):
+        return self.state.Sigma
+
+    @property
     def z(self):
         if self.dyn_sys.H is not None:
             return self.dyn_sys.x_to_zfyf(self.state.x, zf=True)

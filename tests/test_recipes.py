@@ -13,12 +13,24 @@ from soft_robot_control_tpu.tasks.targets import figure8, sine_setpoint
 
 @pytest.fixture(scope="module")
 def diamond(tmp_path_factory):
+    """Diamond robot + offline artifacts (POD basis, TPWL dictionary).
+
+    The fixture runs the offline pipeline itself so every dependent test is
+    self-sufficient (e.g. `pytest -m slow` must pass standalone without the
+    unmarked pipeline test having populated the directory first).
+    """
     save_dir = str(tmp_path_factory.mktemp("diamond"))
     # smaller/faster than defaults for CI: fewer samples, coarser dt
     robot = DiamondRobot(n_nodes=10, seed=0)
     robot.dt = 0.02
     robot.sequences.dt = 0.02
-    return robot, save_dir
+    snap = recipes.collect_pod_data(robot, save_dir, nbr_samples=15,
+                                    t_step=0.3, seed=1)
+    res = recipes.compute_pod_basis(save_dir, pod_tolerance=1e-8,
+                                    pod_type="v")
+    model = recipes.collect_tpwl_data(robot, save_dir, threshold=0.4,
+                                      nbr_samples=15, seed=2)
+    return robot, save_dir, snap, res, model
 
 
 def test_offline_pipeline_trunk(tmp_path):
@@ -40,18 +52,12 @@ def test_offline_pipeline_trunk(tmp_path):
 
 
 def test_offline_pipeline_recipes(diamond):
-    robot, save_dir = diamond
-    snap = recipes.collect_pod_data(robot, save_dir, nbr_samples=15,
-                                    t_step=0.3, seed=1)
+    robot, save_dir, snap, res, model = diamond
     assert len(snap["q"]) > 50
 
-    res = recipes.compute_pod_basis(save_dir, pod_tolerance=1e-8,
-                                    pod_type="v")
     r = res["POD_info"]["U"].shape[1]
     assert 2 <= r <= robot.nb_nodes
 
-    model = recipes.collect_tpwl_data(robot, save_dir, threshold=0.4,
-                                      nbr_samples=15, seed=2)
     assert model.num_points >= 2
 
     check = recipes.tpwl_rollout_check(robot, save_dir, nbr_samples=6, seed=3)
@@ -62,7 +68,7 @@ def test_offline_pipeline_recipes(diamond):
 
 @pytest.mark.slow
 def test_run_scp_recipe_closed_loop(diamond):
-    robot, save_dir = diamond
+    robot, save_dir, _, _, _ = diamond
     # target: gentle sine on the tip around rest
     Hf = robot.get_output_model()
     import jax.numpy as jnp
