@@ -1,0 +1,144 @@
+"""Full-scale Diamond campaign on the shipped reference mesh.
+
+The reference's Diamond pipeline (examples/diamond/diamond.py +
+examples/hardware/model.py) at TRUE reference dimensions — 1628 nodes /
+9768-dim full state over diamond.vtu — with the SOFA FEM engine replaced by
+the in-repo tet-FEM plant (sim/fem_tet.py):
+
+  1. collect_POD_data   : LHS excitation -> snapshots (diamond.py:73-113)
+  2. compute_POD_basis  : SVD, tol 5e-5, type 'a'     (diamond.py:116-137)
+  3. collect_TPWL_data  : discrete-dictionary TPWL    (diamond.py:140-191)
+  4. TPWL_rollout       : held-out fidelity MSE       (hardware/diamond.py:20-73)
+  5. run_scp            : GuSTO MPC figure-8 tracking (diamond.py:194-316)
+     target: z_x = -20 sin(th) - 5.5, z_y = 10 sin(2 th) + 1.5 relative to
+     the post-gravity rest position, Qz=diag(100,100,0), R=1e-5 I,
+     U=[0,1500]^4 (diamond.py:277-292).
+
+Artifacts are written in the reference pkl layouts so they interchange with
+the reference pipeline. Run on TPU (default platform) in float32; pass
+--platform cpu for float64 (slow: ~0.5 s/plant-step single-core).
+
+    python examples/diamond_tet_campaign.py --out examples/diamond_tet
+    python examples/diamond_tet_campaign.py --quick   # small smoke campaign
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None,
+                    help="cpu to force CPU/float64; default = session TPU")
+    ap.add_argument("--out", default=os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "diamond_tet"))
+    ap.add_argument("--samples", type=int, default=40,
+                    help="LHS samples for POD data")
+    ap.add_argument("--tpwl-samples", type=int, default=40)
+    ap.add_argument("--t-step", type=float, default=0.25)
+    ap.add_argument("--threshold", type=float, default=40.0,
+                    help="TPWL distance threshold (reduced weighted units)")
+    ap.add_argument("--pod-tol", type=float, default=5e-5)
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--skip-mpc", action="store_true")
+    ap.add_argument("--sim-duration", type=float, default=11.0)
+    args = ap.parse_args()
+
+    import jax
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+        dtype = "float64"
+    else:
+        dtype = "float32"
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import numpy as np
+    from soft_robot_control_tpu.robots.robots import DiamondTetRobot
+    from soft_robot_control_tpu.tasks import recipes
+
+    if args.quick:
+        args.samples = 8
+        args.tpwl_samples = 8
+        args.sim_duration = 3.0
+
+    np_dtype = np.float64 if dtype == "float64" else np.float32
+    t0 = time.time()
+    robot = DiamondTetRobot(dtype=np_dtype)
+    print(f"[{time.time()-t0:6.1f}s] Diamond tet plant: "
+          f"{robot.plant.n_nodes} nodes, state dim {robot.plant.state_dim}, "
+          f"{robot.plant.input_dim} cables; devices={jax.devices()}",
+          flush=True)
+
+    d = args.out
+    os.makedirs(d, exist_ok=True)
+
+    snap = recipes.collect_pod_data(robot, d, nbr_samples=args.samples,
+                                    t_step=args.t_step)
+    print(f"[{time.time()-t0:6.1f}s] POD data: {len(snap['q'])} snapshots",
+          flush=True)
+
+    res = recipes.compute_pod_basis(d, pod_tolerance=args.pod_tol,
+                                    pod_type="a")
+    r = res["POD_info"]["U"].shape[1]
+    print(f"[{time.time()-t0:6.1f}s] POD basis: r = {r}", flush=True)
+
+    model = recipes.collect_tpwl_data(robot, d, threshold=args.threshold,
+                                      nbr_samples=args.tpwl_samples,
+                                      t_step=args.t_step,
+                                      dynamics="discrete")
+    print(f"[{time.time()-t0:6.1f}s] TPWL dictionary: P = {model.num_points} "
+          f"(discrete, dt={robot.dt})", flush=True)
+
+    chk = recipes.tpwl_rollout_check(robot, d, nbr_samples=6, seed=333,
+                                     t_step=args.t_step)
+    print(f"[{time.time()-t0:6.1f}s] held-out rollout: MSE {chk['mse']:.4g}, "
+          f"rel err {chk['rel_err']:.4f}", flush=True)
+
+    if args.skip_mpc:
+        return
+
+    # figure-8 target around the post-gravity rest tip position
+    # (diamond.py:277-281 with the same amplitudes/offsets)
+    Hf = robot.get_output_model()          # node-1354 positions (3,)
+    z_eq = Hf @ np.asarray(robot.plant.x_rest())
+    T_target = args.sim_duration
+    tt = np.linspace(0, T_target, 1000)
+    th = np.linspace(0, 2 * np.pi * T_target / 10.0, 1000)
+    z_target = np.tile(z_eq, (1000, 1))
+    z_target[:, 0] += -20.0 * np.sin(th) - 5.5
+    z_target[:, 1] += 10.0 * np.sin(2 * th) + 1.5
+    Qz = np.diag([100.0, 100.0, 0.0])
+    R = 1e-5 * np.eye(4)
+    from soft_robot_control_tpu.core.constraints import HyperRectangle
+    U = HyperRectangle(1500.0 * np.ones(4), np.zeros(4))
+
+    sim = recipes.run_scp(robot, d, tt, z_target, dt_solver=0.05, N=5,
+                          N_replan=2, Qz=Qz, R=R,
+                          sim_duration=args.sim_duration, delay=1.0, U=U,
+                          save_prefix="scp_fig8")
+    z = np.asarray(sim["z"])
+    t = np.asarray(sim["t"])
+    zt = np.stack([np.interp(t, tt, z_target[:, j]) for j in range(3)],
+                  axis=1)
+    active = t >= 1.0
+    rmse = float(np.sqrt(np.mean(np.sum(
+        (z[active][:, :2] - zt[active][:, :2]) ** 2, axis=1))))
+    print(f"[{time.time()-t0:6.1f}s] GuSTO MPC figure-8: tracking RMSE "
+          f"{rmse:.3f} mm over {active.sum()} steps", flush=True)
+    info = sim.get("info", {})
+    if "solve_times" in info and len(info["solve_times"]):
+        st = np.asarray(info["solve_times"])
+        print(f"         solve times: mean {st.mean()*1e3:.2f} ms, "
+              f"max {st.max()*1e3:.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,203 @@
+"""Trunk SSM campaign: native SSM identification + nonlinear MPC at
+reference scale (BASELINE config 4, "Trunk SSM").
+
+The reference identifies SSM models by exporting decay CSVs to MATLAB
+SSMLearn (examples/diamond/SSM_sysID.py -> SSM_model.mat); here the whole
+campaign runs in-repo on the tet-FEM Trunk (709 nodes / 4254-dim state over
+the shipped trunk.vtk, sim/fem_tet.py):
+
+  1. decay campaign        : hold each cable pattern, release, record tip
+                             [q; v] decays (SSM_sysID.py role)
+  2. native SSM fit        : models/ssm_learn.py — 6-dim spectral subspace,
+                             cubic chart/parametrization/reduced dynamics,
+                             input matrices from actuated runs
+  3. open-loop validation  : held-out actuated trajectory prediction
+  4. closed-loop SSM MPC   : scp_ssm + manifold observer + GuSTO
+                             (max_gusto_iters=0: one LOCP per query, the
+                             diamond_SSM.py:361 real-time configuration)
+                             tracking a tip circle ON THE TET PLANT.
+
+    python examples/trunk_ssm_campaign.py --out examples/trunk_tet
+    python examples/trunk_ssm_campaign.py --quick
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def tip_qv_output(num_nodes: int, node: int):
+    """C matrix producing z = [q_tip; v_tip] from x = [v; q] (the [q; v]
+    output ordering models/ssm.py expects, measurement_models.py qv=True)."""
+    import numpy as np
+    C = np.zeros((6, 6 * num_nodes))
+    for k in range(3):
+        C[k, 3 * num_nodes + 3 * node + k] = 1.0      # q block of x
+        C[3 + k, 3 * node + k] = 1.0                  # v block of x
+    return C
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--out", default=os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "trunk_tet"))
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--amp", type=float, default=200.0,
+                    help="cable hold amplitude for decays (mN)")
+    ap.add_argument("--sim-duration", type=float, default=6.0)
+    ap.add_argument("--skip-mpc", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+        np_dtype_name = "float64"
+    else:
+        np_dtype_name = "float32"
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import numpy as np
+    import jax.numpy as jnp
+    from soft_robot_control_tpu.robots.robots import TrunkTetRobot
+    from soft_robot_control_tpu.tasks.sysid_export import train_ssm_native
+    from soft_robot_control_tpu.models import ssm as ssm_mod
+    from soft_robot_control_tpu.models.ssm_learn import save_mat, to_mat_dict
+
+    np_dtype = np.float64 if np_dtype_name == "float64" else np.float32
+    t0 = time.time()
+    robot = TrunkTetRobot(dtype=np_dtype)
+    plant = robot.plant
+    print(f"[{time.time()-t0:6.1f}s] Trunk tet plant: {plant.n_nodes} nodes, "
+          f"state dim {plant.state_dim}, {plant.input_dim} cables; "
+          f"devices={jax.devices()}", flush=True)
+
+    os.makedirs(args.out, exist_ok=True)
+    tip = 51  # reference tip node (examples/trunk/trunk.py:181)
+    Hf = tip_qv_output(plant.n_nodes, tip)
+
+    # decay campaign: single long-cable holds + combinations (mirrors the
+    # per-cable decay sweep of SSM_sysID.py)
+    amp = args.amp
+    levels = []
+    for i in range(4):  # long cables bend in 4 directions
+        lv = np.zeros(8)
+        lv[i] = amp
+        levels.append(lv)
+    levels += [np.array([amp, amp, 0, 0, 0, 0, 0, 0.]) / 1.5,
+               np.array([0, amp, amp, 0, 0, 0, 0, 0.]) / 1.5]
+    if args.quick:
+        levels = levels[:3]
+
+    # actuated runs for the B fit: smooth multi-sine inputs
+    dt = robot.dt
+    T_act = int((2.0 if args.quick else 4.0) / dt)
+    tt = dt * np.arange(T_act)
+    rng = np.random.default_rng(0)
+    acts = []
+    for k in range(2 if args.quick else 4):
+        ph = rng.uniform(0, 2 * np.pi, 8)
+        fr = rng.uniform(0.3, 1.0, 8)
+        u = 0.5 * amp * (1 + np.sin(2 * np.pi * fr[None, :] * tt[:, None]
+                                    + ph[None, :]))
+        u[:, 4:] = 0.0  # long cables only
+        acts.append(u)
+
+    model = train_ssm_native(
+        plant, Hf, levels, state_dim=6, SSM_order=3, ROM_order=3,
+        n_delay=0, hold_time=1.5 if args.quick else 2.5,
+        decay_time=2.5 if args.quick else 4.0, dt=dt, settle_skip=5,
+        actuated_inputs=acts, ridge=[1e-8, 1e-6, 1e-4, 1e-2],
+        save_path=os.path.join(args.out, "trunk_SSM_model.mat"))
+    print(f"[{time.time()-t0:6.1f}s] SSM trained: state_dim "
+          f"{model.state_dim}, saved trunk_SSM_model.mat", flush=True)
+
+    # held-out actuated validation
+    from soft_robot_control_tpu.tasks.sysid_export import (
+        collect_actuated_trajectories)
+    ph = rng.uniform(0, 2 * np.pi, 8)
+    u_test = 0.4 * amp * (1 + np.sin(2 * np.pi * 0.5 * tt[:, None]
+                                     + ph[None, :]))
+    u_test[:, 4:] = 0.0
+    (z_true, _), = collect_actuated_trajectories(plant, Hf, [u_test], dt=dt)
+    x0 = model.observed_to_reduced(jnp.asarray(z_true[0]
+                                               - np.asarray(model.z_ref)))
+    xs = [np.asarray(x0)]
+    for i in range(len(u_test) - 1):
+        xs.append(np.asarray(model.update_state(
+            jnp.asarray(xs[-1]), jnp.asarray(u_test[i], jnp.float64), dt)))
+    z_pred = np.asarray(jax.vmap(model.reduced_to_observed)(
+        jnp.asarray(np.stack(xs)))) + np.asarray(model.z_ref)
+    err = np.linalg.norm(z_pred[:, :3] - z_true[:, :3], axis=1)
+    motion = np.linalg.norm(z_true[:, :3] - z_true[0, :3], axis=1)
+    rel = float(np.sqrt(np.mean(err**2)) / max(motion.max(), 1e-9))
+    print(f"[{time.time()-t0:6.1f}s] held-out actuated tip prediction "
+          f"rel RMS {rel:.3f} (motion max {motion.max():.1f} mm)",
+          flush=True)
+
+    if args.skip_mpc:
+        return
+
+    # closed-loop SSM MPC on the tet plant
+    from soft_robot_control_tpu.control.mpc import scp_ssm
+    from soft_robot_control_tpu.control.service import GuSTOService
+    from soft_robot_control_tpu.core.constraints import HyperRectangle
+    from soft_robot_control_tpu.models.interfaces import SSMGuSTO
+    from soft_robot_control_tpu.sim.closed_loop import run_closed_loop
+
+    gm = SSMGuSTO(model)
+    nz = model.output_dim
+    T_traj = max(args.sim_duration + 4.0, 10.0)
+    t_target = np.arange(0, T_traj, dt)
+    amp_z = 8.0
+    z_target = np.zeros((len(t_target), nz))
+    z_target[:, 0] = amp_z * np.cos(2 * np.pi * t_target / 6.0) - amp_z
+    z_target[:, 1] = amp_z * np.sin(2 * np.pi * t_target / 6.0)
+    Qz = np.zeros((nz, nz))
+    Qz[0, 0] = Qz[1, 1] = 100.0
+    R = 1e-6 * np.eye(model.input_dim)
+    U = HyperRectangle(robot.u_max * np.ones(8), np.zeros(8))
+
+    x0r = np.zeros(model.state_dim)
+    service = GuSTOService(gm, N=3, dt=3 * dt, Qz=Qz, R=R, x0=x0r,
+                           t=t_target, z=z_target, U=U, verbose=0,
+                           max_gusto_iters=0, convg_thresh=1e-2)
+    controller = scp_ssm(model, None, dt, N_replan=2, delay=0.5, wait=True,
+                         solver_service=service)
+
+    Cf = robot.get_measurement_model(nodes=[tip])  # [v_tip; q_tip] raw y
+
+    class _Lin:
+        def __init__(self, M):
+            self.M = jnp.asarray(M, jnp.asarray(plant.rest_pos).dtype)
+
+        def evaluate(self, x, key=None):
+            return self.M @ x
+
+    sim = run_closed_loop(plant, controller,
+                          sim_duration=args.sim_duration, dt=dt,
+                          measurement_model=_Lin(Cf),
+                          output_model=_Lin(Hf))
+    z = np.asarray(sim["z"])  # [q_tip; v_tip]
+    t = np.asarray(sim["t"])
+    zs = z[:, :2] - np.asarray(model.z_ref)[:2]
+    mask = t > 1.5
+    zx = np.interp(t[mask] - 0.5, t_target, z_target[:, 0])
+    zy = np.interp(t[mask] - 0.5, t_target, z_target[:, 1])
+    err = np.hypot(zs[mask, 0] - zx, zs[mask, 1] - zy)
+    print(f"[{time.time()-t0:6.1f}s] SSM MPC on tet plant: tracking RMSE "
+          f"{np.sqrt(np.mean(err**2)):.2f} mm (circle amp {amp_z} mm)",
+          flush=True)
+    from soft_robot_control_tpu.utils.io import save_data
+    save_data(os.path.join(args.out, "ssm_mpc_sim.pkl"), sim)
+
+
+if __name__ == "__main__":
+    main()

@@ -231,7 +231,12 @@ class TPWLModel:
         return disc.discretize_affine(A_c, B_c, d_c, dt, method=self.discr_method)
 
     def pre_discretize(self, dt) -> "TPWLModel":
-        """Discretize every dictionary point in one vmapped batch."""
+        """Discretize every dictionary point in one vmapped batch. A
+        discrete-native dictionary (A_d already present at this dt, e.g.
+        built by TetFEM.reduced_discrete_dynamics) is returned as-is."""
+        if (self.A_d is not None and self.pre_discretized_dt is not None
+                and abs(self.pre_discretized_dt - float(dt)) < 1e-12):
+            return self
         if self.tpwl_method != "nn":
             raise RuntimeError("tpwl method should be nn to pre-discretize")
         A_d, B_d, d_d = disc.discretize_affine_batch(
@@ -341,15 +346,24 @@ def from_tpwl_dict(data, params: Optional[dict] = None, Cf=None, Hf=None,
     rom = POD(data["rom_info"])
     params = params or {}
     dw = params.get("dist_weights") or {"q": 1.0, "v": 1.0}
+    # discrete matrices travel with the dict when the builder produced them
+    # (reference layout also carries A_d/B_d/d_d + dt, tpwl_utils.py:130-153)
+    has_disc = ("A_d" in data and data["A_d"] is not None
+                and len(np.shape(data["A_d"])) == 3
+                and data.get("dt", -1) not in (-1, None))
     model = TPWLModel(
         q=np.asarray(data["q"]), v=np.asarray(data["v"]),
         u=np.atleast_2d(np.asarray(data["u"])),
         A_c=np.asarray(data["A_c"]), B_c=np.asarray(data["B_c"]),
         d_c=np.asarray(data["d_c"]), rom=rom,
+        A_d=np.asarray(data["A_d"]) if has_disc else None,
+        B_d=np.asarray(data["B_d"]) if has_disc else None,
+        d_d=np.asarray(data["d_d"]) if has_disc else None,
         dist_w_q=dw["q"], dist_w_v=dw["v"],
         beta=params.get("beta_weighting"),
         discr_method=discr_method,
         tpwl_method=params.get("tpwl_method", TPWL_METHOD_DEFAULT),
+        pre_discretized_dt=float(data["dt"]) if has_disc else None,
     )
     if Cf is not None:
         model = model.set_measurement_model(Cf)

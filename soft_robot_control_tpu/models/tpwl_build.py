@@ -59,7 +59,14 @@ def reduced_affine_dynamics(plant: FEMSurrogate, rom: POD, x_full, u):
     """Project the plant's analytic affine expansion at (x_full, u) to ROM
     coordinates. Equivalent role to add_continuous_TPWL
     (tpwl_utils.py:263-277) with extract_AB (utils.py:251-286).
+
+    Plants that provide their own matrix-free projection (TetFEM at
+    reference mesh scale, where the dense (2n)^2 Jacobian is 763 MB) are
+    dispatched to it; the dense path below serves small surrogates.
     """
+    if hasattr(plant, "reduced_affine_dynamics"):
+        return plant.reduced_affine_dynamics(rom, jnp.asarray(x_full),
+                                             jnp.asarray(u))
     A, B, d = plant.jacobians(jnp.asarray(x_full), jnp.asarray(u))
     n, r = rom.full_dim, rom.rom_dim
     # A_r = V^T A V without materializing V = kron(I2, U)
@@ -79,10 +86,22 @@ def build_tpwl_model(plant: FEMSurrogate, rom: POD, x_traj, u_traj,
                      config: Optional[tpwl_config] = None,
                      params: Optional[dict] = None,
                      Cf=None, Hf=None,
-                     discr_method: str = "zoh") -> TPWLModel:
+                     discr_method: str = "zoh",
+                     dynamics: str = "continuous",
+                     x_next=None, dt: Optional[float] = None) -> TPWLModel:
     """Sweep a recorded trajectory and build the TPWL dictionary.
 
     x_traj: (T, 2 n_f) full-order states; u_traj: (T, m) inputs applied.
+
+    dynamics='continuous' stores projected continuous affine dynamics
+    (the reference's add_continuous_TPWL). dynamics='discrete' stores the
+    projected *discrete step map* via plant.reduced_discrete_dynamics —
+    the reference's add_discrete_TPWL built from the implicit system matrix
+    (tpwl_utils.py:279-289, utils.py:289-299); requires `dt` and, for
+    exact-at-point affine terms, `x_next` (T, 2 n_f) recorded next states.
+    For stiff full-scale FEM the discrete dictionary is strongly preferred
+    (backward Euler statically condenses stiff modes; Galerkin projection of
+    the continuous dynamics misses that by O(1)).
 
     Selection semantics follow TPWLSnapshotData (tpwl_utils.py:156-260):
     the first point is always added; afterwards, with
@@ -97,6 +116,10 @@ def build_tpwl_model(plant: FEMSurrogate, rom: POD, x_traj, u_traj,
     wq = config.TPWL_weighting_factors["q"]
     wv = config.TPWL_weighting_factors["v"]
 
+    if dynamics not in ("continuous", "discrete"):
+        raise ValueError(f"unknown dynamics mode {dynamics!r}")
+    if dynamics == "discrete" and dt is None:
+        raise ValueError("dynamics='discrete' requires dt")
     x_traj = np.asarray(x_traj)
     u_traj = np.atleast_2d(np.asarray(u_traj))
     # reduced coordinates of the whole sweep, in one projected batch
@@ -108,27 +131,42 @@ def build_tpwl_model(plant: FEMSurrogate, rom: POD, x_traj, u_traj,
     sel_q, sel_v, sel_u = [], [], []
     A_list, B_list, d_list = [], [], []
     sel_steps = []
-    dt = getattr(config, "dt", None)
+    dt = dt if dt is not None else getattr(config, "dt", None)
 
     jac = jax.jit(lambda xf, u: reduced_affine_dynamics(plant, rom, xf, u))
+    if dynamics == "discrete":
+        xn_r = (np.asarray(jax.vmap(rom.project_x)(jnp.asarray(x_next)))
+                if x_next is not None else None)
+        jac_d = jax.jit(lambda xf, u, xnr: plant.reduced_discrete_dynamics(
+            rom, xf, u, dt, x_next_r=xnr))
 
     def add(i):
         sel_steps.append(i)
         sel_q.append(qr[i])
         sel_v.append(vr[i])
         sel_u.append(u_traj[i])
-        A, B, d = jac(x_traj[i], u_traj[i])
+        if dynamics == "discrete":
+            xnr = (jnp.asarray(xn_r[i]) if xn_r is not None
+                   else rom.project_x(plant.step(jnp.asarray(x_traj[i]),
+                                                 jnp.asarray(u_traj[i]), dt)))
+            A, B, d = jac_d(x_traj[i], u_traj[i], xnr)
+        else:
+            A, B, d = jac(x_traj[i], u_traj[i])
         A_list.append(np.asarray(A))
         B_list.append(np.asarray(B))
         d_list.append(np.asarray(d))
 
     def partial_model():
+        kw = {}
+        if dynamics == "discrete":
+            kw = dict(A_d=np.asarray(A_list), B_d=np.asarray(B_list),
+                      d_d=np.asarray(d_list), pre_discretized_dt=float(dt))
         return TPWLModel(
             q=np.asarray(sel_q), v=np.asarray(sel_v), u=np.asarray(sel_u),
             A_c=np.asarray(A_list), B_c=np.asarray(B_list),
             d_c=np.asarray(d_list), rom=rom,
             dist_w_q=config.dist_weights["q"], dist_w_v=config.dist_weights["v"],
-            discr_method=config.discr_method, tpwl_method="nn")
+            discr_method=config.discr_method, tpwl_method="nn", **kw)
 
     if config.eval_type == "dynamics" and dt is None:
         raise ValueError("dynamics eval_type requires config.dt")
@@ -172,13 +210,17 @@ def build_tpwl_model(plant: FEMSurrogate, rom: POD, x_traj, u_traj,
 
     params = params or {}
     dw = params.get("dist_weights") or {"q": 1.0, "v": 1.0}
+    kw = {}
+    if dynamics == "discrete":
+        kw = dict(A_d=np.asarray(A_list), B_d=np.asarray(B_list),
+                  d_d=np.asarray(d_list), pre_discretized_dt=float(dt))
     model = TPWLModel(
         q=np.asarray(sel_q), v=np.asarray(sel_v), u=np.asarray(sel_u),
         A_c=np.asarray(A_list), B_c=np.asarray(B_list), d_c=np.asarray(d_list),
         rom=rom, dist_w_q=dw["q"], dist_w_v=dw["v"],
         beta=params.get("beta_weighting"),
         discr_method=discr_method,
-        tpwl_method=params.get("tpwl_method", "nn"),
+        tpwl_method=params.get("tpwl_method", "nn"), **kw,
     )
     if Cf is not None:
         model = model.set_measurement_model(Cf)
@@ -189,8 +231,9 @@ def build_tpwl_model(plant: FEMSurrogate, rom: POD, x_traj, u_traj,
 
 def to_tpwl_dict(model: TPWLModel) -> dict:
     """Export a TPWLModel to the reference pickle layout
-    (tpwl_utils.py:130-153 keys subset) for interchange."""
-    return {
+    (tpwl_utils.py:130-153 keys subset) for interchange. Discrete matrices
+    travel along when the model carries them."""
+    out = {
         "q": np.asarray(model.q), "v": np.asarray(model.v),
         "u": np.asarray(model.u),
         "A_c": np.asarray(model.A_c), "B_c": np.asarray(model.B_c),
@@ -199,3 +242,8 @@ def to_tpwl_dict(model: TPWLModel) -> dict:
         "dt": model.pre_discretized_dt if model.pre_discretized_dt else -1,
         "info": {"nbr_lin": str(model.num_points)},
     }
+    if model.A_d is not None:
+        out["A_d"] = np.asarray(model.A_d)
+        out["B_d"] = np.asarray(model.B_d)
+        out["d_d"] = np.asarray(model.d_d)
+    return out

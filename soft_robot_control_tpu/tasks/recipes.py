@@ -39,9 +39,13 @@ def collect_pod_data(robot, save_dir: str, nbr_samples: int = 40,
     Saves pod_snapshots.pkl (SnapshotData layout) and rest.pkl."""
     os.makedirs(save_dir, exist_ok=True)
     s = robot.sequences
-    s.umax = amplitude_scale * np.asarray(s.umax)
-    u_seq, save_seq, t_seq = s.lhs_sequence(nbr_samples=nbr_samples,
-                                            t_step=t_step, seed=seed)
+    umax_save = np.asarray(s.umax).copy()
+    s.umax = amplitude_scale * umax_save
+    try:
+        u_seq, save_seq, t_seq = s.lhs_sequence(nbr_samples=nbr_samples,
+                                                t_step=t_step, seed=seed)
+    finally:
+        s.umax = umax_save  # don't leak the scaled amplitude to later recipes
     u = np.asarray(u_seq).T
     dt = robot.dt
     X = np.asarray(simulate(robot.plant, robot.plant.x_rest(),
@@ -72,14 +76,25 @@ def compute_pod_basis(save_dir: str, pod_tolerance: float = 5e-5,
 
 def collect_tpwl_data(robot, save_dir: str, threshold: float = 0.5,
                       nbr_samples: int = 40, t_step: float = 0.3,
-                      seed: int = 222, discr_method: str = "be"):
+                      seed: int = 222, discr_method: str = "be",
+                      dynamics: str = "continuous",
+                      amplitude_scale: float = 1.0):
     """Build the TPWL dictionary along a fresh excitation trajectory
     (collect_TPWL_data, examples/diamond/diamond.py:140-191).
-    Saves tpwl_model_snapshots.pkl in the reference dict layout."""
+    Saves tpwl_model_snapshots.pkl in the reference dict layout.
+
+    dynamics='discrete' stores the projected implicit-step map instead of
+    continuous Jacobians (the reference's discrete TPWL mode,
+    tpwl_utils.py:279-289) — preferred for the full-scale tet-FEM plants."""
     rom = pod.load_POD(os.path.join(save_dir, "pod_model.pkl"))
     s = robot.sequences
-    u_seq, _, _ = s.lhs_sequence(nbr_samples=nbr_samples, t_step=t_step,
-                                 seed=seed)
+    umax_save = np.asarray(s.umax).copy()
+    s.umax = amplitude_scale * umax_save
+    try:
+        u_seq, _, _ = s.lhs_sequence(nbr_samples=nbr_samples, t_step=t_step,
+                                     seed=seed)
+    finally:
+        s.umax = umax_save
     u = np.asarray(u_seq).T
     dt = robot.dt
     X = np.asarray(simulate(robot.plant, robot.plant.x_rest(),
@@ -91,7 +106,7 @@ def collect_tpwl_data(robot, save_dir: str, threshold: float = 0.5,
     model = tpwl_build.build_tpwl_model(
         robot.plant, rom, X[:-1], u, config=cfg, Cf=Cf, Hf=Hf,
         params={"dist_weights": {"q": 10.0, "v": 1.0}},
-        discr_method=discr_method)
+        discr_method=discr_method, dynamics=dynamics, x_next=X[1:], dt=dt)
     save_data(os.path.join(save_dir, "tpwl_model_snapshots.pkl"),
               tpwl_build.to_tpwl_dict(model))
     return model
@@ -111,13 +126,20 @@ def load_tpwl(robot, save_dir: str, discr_method: str = "be") -> TPWLModel:
 
 
 def tpwl_rollout_check(robot, save_dir: str, nbr_samples: int = 10,
-                       seed: int = 333):
+                       seed: int = 333, t_step: float = 0.4,
+                       amplitude_scale: float = 1.0):
     """Open-loop ROM fidelity vs plant ground truth with MSE — the
-    TPWL_rollout module test (examples/hardware/diamond.py:20-73)."""
+    TPWL_rollout module test (examples/hardware/diamond.py:20-73). Also
+    reports `rel_err`, the z error normalized by the motion energy."""
     model = load_tpwl(robot, save_dir).pre_discretize(robot.dt)
     s = robot.sequences
-    u_seq, _, _ = s.lhs_sequence(nbr_samples=nbr_samples, t_step=0.4,
-                                 seed=seed)
+    umax_save = np.asarray(s.umax).copy()
+    s.umax = amplitude_scale * umax_save
+    try:
+        u_seq, _, _ = s.lhs_sequence(nbr_samples=nbr_samples, t_step=t_step,
+                                     seed=seed)
+    finally:
+        s.umax = umax_save
     u = np.asarray(u_seq).T
     X = np.asarray(simulate(robot.plant, robot.plant.x_rest(),
                             jnp.asarray(u), robot.dt))
@@ -126,8 +148,11 @@ def tpwl_rollout_check(robot, save_dir: str, nbr_samples: int = 10,
     x0 = model.rom.project_x(jnp.asarray(X[0]))
     _, z = model.rollout(x0, jnp.asarray(u), robot.dt)
     z = np.asarray(z)
-    mse = float(np.mean(np.sum((z[:-1] - z_true[:-1]) ** 2, axis=1)))
-    return {"mse": mse, "z_rom": z, "z_true": z_true}
+    T = min(len(z), len(z_true))
+    mse = float(np.mean(np.sum((z[:T] - z_true[:T]) ** 2, axis=1)))
+    rel = float(np.linalg.norm(z[:T] - z_true[:T])
+                / max(np.linalg.norm(z_true - z_true.mean(0)), 1e-12))
+    return {"mse": mse, "rel_err": rel, "z_rom": z, "z_true": z_true}
 
 
 # ---------------------------------------------------------------------------

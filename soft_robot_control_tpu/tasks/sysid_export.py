@@ -72,11 +72,27 @@ def sim_pkl_to_csv(pkl_path: str, out_dir: Optional[str] = None):
     return paths
 
 
+def collect_actuated_trajectories(plant: FEMSurrogate, Hf, u_seqs,
+                                  dt: float = 0.01):
+    """Simulate the plant under each input sequence (T, m) from rest and
+    record z = Hf x — training data for the SSM input-matrix fit
+    (models/ssm_learn.py step 6; the reference gathers the same kind of
+    actuated runs for SSMLearn via examples/diamond/SSM_sysID.py)."""
+    Hf = np.asarray(Hf)
+    out = []
+    for u_seq in u_seqs:
+        u_seq = np.atleast_2d(np.asarray(u_seq, float))
+        X = np.asarray(simulate(plant, plant.x_rest(), jnp.asarray(u_seq),
+                                dt))
+        out.append((X[:-1] @ Hf.T, u_seq))
+    return out
+
+
 def train_ssm_native(plant: FEMSurrogate, Hf, u_levels, state_dim: int,
                      SSM_order: int = 3, ROM_order: int = 3,
                      n_delay: int = 0, hold_time: float = 2.0,
                      decay_time: float = 4.0, dt: float = 0.01,
-                     settle_skip: int = 0,
+                     settle_skip: int = 0, actuated_inputs=None,
                      save_path: Optional[str] = None, **learn_kwargs):
     """End-to-end native SSM identification: run the decay campaign on the
     plant and fit an SSMModel with models/ssm_learn.py — the workflow the
@@ -97,6 +113,11 @@ def train_ssm_native(plant: FEMSurrogate, Hf, u_levels, state_dim: int,
     decays = collect_decay_trajectories(plant, Hf, u_levels,
                                         hold_time=hold_time,
                                         decay_time=decay_time, dt=dt)
+    if actuated_inputs is not None:
+        acts = collect_actuated_trajectories(plant, Hf, actuated_inputs,
+                                             dt=dt)
+        learn_kwargs.setdefault("actuated_trajs", [z for z, _ in acts])
+        learn_kwargs.setdefault("input_trajs", [u for _, u in acts])
     Hf = np.asarray(Hf)
     z_eq = Hf @ np.asarray(plant.x_rest())
     if n_delay > 0:
