@@ -34,6 +34,44 @@ def timeit(fn, *args, warmup=2, iters=10):
     return (time.perf_counter() - t0) / iters
 
 
+DIAMOND_TET_ART = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "examples", "diamond_tet",
+                               "tpwl_model_snapshots.pkl")
+
+
+def load_bench_model(dtype):
+    """Physics-campaign Diamond TPWL at reference dictionary scale when the
+    committed artifact exists (built by examples/diamond_tet_campaign.py
+    from the 1628-node tet-FEM plant over the shipped diamond.vtu);
+    otherwise a synthetic model at P>=300 so the dictionary gather/HBM
+    pressure matches reference scale either way (SURVEY.md §6: thresholds
+    200-1100 -> O(100s) of points)."""
+    from soft_robot_control_tpu.tasks.demo import make_demo_tpwl
+
+    if os.path.exists(DIAMOND_TET_ART):
+        from soft_robot_control_tpu.models.tpwl import from_tpwl_dict
+        from soft_robot_control_tpu.sim.measurement import linearModel
+
+        Cf = linearModel([1354, 726, 139, 1445, 729], 1628).C_dense()
+        Hf = linearModel([1354], 1628, vel=False).C_dense()
+        model = from_tpwl_dict(
+            DIAMOND_TET_ART,
+            params={"dist_weights": {"q": 10.0, "v": 1.0}},
+            Cf=Cf, Hf=Hf, discr_method="be")
+        dt = (float(model.pre_discretized_dt)
+              if model.pre_discretized_dt else 0.01)
+        src = (f"diamond_tet_campaign(P={model.num_points}, "
+               f"r={model.rom.rom_dim}, n_f=9768)")
+    else:
+        model = make_demo_tpwl(r=21, P=320, m=4, nz=6, nf=64,
+                               dtype=np.float32)
+        dt = 0.02
+        src = f"synthetic(P={model.num_points}, r=21)"
+    model = jax.tree_util.tree_map(
+        lambda a: a.astype(np.float32) if hasattr(a, "astype") else a, model)
+    return model, dt, src
+
+
 def main():
     from soft_robot_control_tpu.control.batch_mpc import BatchMPC
     from soft_robot_control_tpu.core.constraints import HyperRectangle
@@ -41,12 +79,11 @@ def main():
     from soft_robot_control_tpu.tasks.demo import demo_targets, make_demo_tpwl
 
     dtype = jnp.float32
-    # Diamond scale: r=21 -> n_x=42, m=4, n_z=6 (SURVEY.md §6 problem sizes);
-    # cable bounds u in [0, 1500] like the calibrated hardware Diamond
-    # (examples/hardware/model.py u_max=1500) so every QP carries the
-    # production constraint rows
-    model = make_demo_tpwl(r=21, P=64, m=4, nz=6, nf=64, dtype=np.float32)
-    dt = 0.02
+    # Diamond scale (SURVEY.md §6 problem sizes) at reference dictionary
+    # size P>=300; cable bounds u in [0, 1500] like the calibrated hardware
+    # Diamond (examples/hardware/model.py u_max=1500) so every QP carries
+    # the production constraint rows
+    model, dt, model_src = load_bench_model(dtype)
     N, N_replan = 5, 2
     U = HyperRectangle(1500.0 * np.ones(4), np.zeros(4))
 
@@ -130,6 +167,52 @@ def main():
     t_batch_xla = timeit(lambda: fB(x0B, x0B, ztB, keysB), warmup=2, iters=5)
     batch_mpc_steps_per_sec_xla = B * n_win / t_batch_xla
 
+    # solution quality AT the benchmarked iteration counts: closed-loop
+    # tracking error of the timed configurations against *dynamically
+    # feasible* targets — the z-response of the model itself to admissible
+    # smooth inputs (4 nonnegative cables cannot track 6 independent random
+    # sinusoids, so random targets would only measure infeasibility).
+    from soft_robot_control_tpu.control.batch_mpc import window_targets
+
+    T_q = n_win * N_replan + N + 1
+    rng_q = np.random.default_rng(11)
+    tq = dt * np.arange(T_q + 1)
+    u_ref = 0.5 * 1500.0 * (1.0 + np.sin(
+        2 * np.pi * tq[None, :, None] / 4.0
+        + rng_q.uniform(0, 2 * np.pi, size=(B, 1, model.input_dim))))
+    Xq = rollout_batch(model_d, jnp.zeros((B, model.state_dim), dtype),
+                       jnp.asarray(u_ref, dtype), dt)
+    zq = (np.asarray(Xq) @ np.asarray(model_d.H).T
+          + np.asarray(model_d.z_ref))
+    ztQ = jnp.asarray(np.stack([window_targets(zq[b, :T_q], n_win, N_replan,
+                                               N) for b in range(B)]), dtype)
+
+    def rel_track(run_fn):
+        logs = jax.block_until_ready(run_fn(x0B, x0B, ztQ, keysB))
+        z = np.asarray(logs["z"])            # (B, n_win*N_replan, nz)
+        # targets are windowed (n_win, N+1, nz); window w executes ticks
+        # matching its target entries 1..N_replan
+        zt_exec = np.asarray(ztQ)[:, :, 1:N_replan + 1, :].reshape(
+            B, n_win * N_replan, -1)
+        num = np.linalg.norm(z - zt_exec)
+        den = max(np.linalg.norm(zt_exec - zt_exec.mean(axis=(0, 1))), 1e-12)
+        return float(num / den)
+
+    track_cond = rel_track(runC)
+    track_sparse = rel_track(runF)
+
+    # analytic ADMM FLOPs (lower bound: K^-1 apply + constraint matvecs per
+    # iteration) -> achieved FLOP/s + fraction of v5e peak (f32 ~49 TFLOP/s)
+    def admm_flops_per_window(m):
+        n_var, n_con = m._qp_dims()
+        per_iter = 2 * n_var * n_var + 4 * n_con * n_var
+        return m.qp_iters * m.scp_iters * per_iter
+
+    flops_cond = admm_flops_per_window(mpc_cond)
+    achieved_tflops = flops_cond * batch_mpc_steps_per_sec / 1e12
+    V5E_F32_PEAK_TFLOPS = 49.0
+    pct_peak = 100.0 * achieved_tflops / V5E_F32_PEAK_TFLOPS
+
     # ---- 4. batched full-GuSTO trajectory optimization (device while_loop)
     from soft_robot_control_tpu.models.interfaces import TPWLGuSTO
     from soft_robot_control_tpu.scp.gusto_jit import GuSTOJit
@@ -163,6 +246,98 @@ def main():
                   iters=5)
     gusto_solves_per_sec_xla = Bg / t_gx
 
+    # ---- 4b. long-horizon N=200 open-loop trajectory optimization
+    # (scp/standalone.py:11 role, examples/hardware/diamond.py:400-496):
+    # stage-structured LOCP with the cyclic-reduction KKT solve — log2(N)
+    # batched levels instead of 200 sequential block steps; the dense path
+    # cannot even assemble ((N+1)nx+Nnu)^2 at this horizon. Reported as
+    # full fixed-iteration LOCP trajectory solves per second.
+    from soft_robot_control_tpu.scp.locp_stages import StageLOCP
+
+    N200 = 200
+    nx200 = model.state_dim
+    nu200 = model.input_dim
+    rng3 = np.random.default_rng(3)
+    Ad_s = jnp.asarray(np.repeat(np.asarray(model_d.A_d[:1]), N200, 0), dtype)
+    Bd_s = jnp.asarray(np.repeat(np.asarray(model_d.B_d[:1]), N200, 0), dtype)
+    dd_s = jnp.asarray(np.repeat(np.asarray(model_d.d_d[:1]), N200, 0), dtype)
+    z_s = jnp.asarray(0.05 * rng3.normal(size=(N200 + 1, model.H.shape[0])),
+                      dtype)
+    x0_s = jnp.zeros(nx200, dtype)
+    st_cr = StageLOCP(N200, np.asarray(model.H), 100.0 * np.eye(6),
+                      1e-3 * np.eye(nu200), U=U, kkt_solver="cr",
+                      dtype=dtype)
+    st_scan = StageLOCP(N200, np.asarray(model.H), 100.0 * np.eye(6),
+                        1e-3 * np.eye(nu200), U=U, kkt_solver="scan",
+                        dtype=dtype)
+    f_cr = jax.jit(lambda: st_cr.solve(Ad_s, Bd_s, dd_s, x0_s, z_s,
+                                       iters=100)[0])
+    f_scan = jax.jit(lambda: st_scan.solve(Ad_s, Bd_s, dd_s, x0_s, z_s,
+                                           iters=100)[0])
+    t_cr = timeit(f_cr, warmup=1, iters=5)
+    t_scan = timeit(f_scan, warmup=1, iters=5)
+    n200_cr_per_sec = 1.0 / t_cr
+    n200_scan_per_sec = 1.0 / t_scan
+
+    # ---- 5. batched SSM MPC throughput (config 4 x 5): nonlinear-chart
+    # relinearization + LOCP with time-varying H_d/c_d per window, fused
+    # Pallas launch. Model: natively-trained Trunk SSM artifact when
+    # present, else the reference's shipped Diamond SSM_model.mat.
+    ssm_windows_per_sec = None
+    ssm_src = None
+    try:
+        import pickle
+        from soft_robot_control_tpu.control.batch_mpc import (BatchSSMMPC,
+                                                              window_targets)
+        from soft_robot_control_tpu.models import ssm as ssm_mod
+
+        trunk_art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "examples", "trunk_tet",
+                                 "trunk_SSM_model.mat")
+        if os.path.exists(trunk_art):
+            from soft_robot_control_tpu.models.ssm_learn import SSMModel  # noqa
+            smodel = ssm_mod.from_mat(trunk_art, None, discrete=False,
+                                      discr_method="be")
+            ssm_src = "trunk_tet_native"
+        else:
+            ref = "/root/reference/examples/hardware"
+            with open(os.path.join(ref, "rest_qv.pkl"), "rb") as f:
+                rest = pickle.load(f)
+            qv_eq = np.array(rest["rest"])
+            x_eq = np.concatenate((qv_eq[1], qv_eq[0]))
+            from soft_robot_control_tpu.sim.measurement import linearModel
+            out = linearModel([1354], 1628)
+            z_eq = np.asarray(out.evaluate(jnp.asarray(x_eq), qv=True))
+            smodel = ssm_mod.from_mat(
+                os.path.join(ref, "SSMmodels/SSM_model.mat"), z_eq,
+                discrete=False, discr_method="be")
+            ssm_src = "reference_diamond_mat"
+        nz_s = smodel.output_dim
+        Qz_s = np.zeros((nz_s, nz_s))
+        Qz_s[0, 0] = Qz_s[1, 1] = 100.0
+        smpc = BatchSSMMPC(smodel, Qz_s, 1e-6 * np.eye(smodel.input_dim),
+                           N=3, dt=0.02, N_replan=2, qp_iters=50,
+                           dtype=dtype)
+        n_win_s = 4
+        Bs = 1024
+        Ts = n_win_s * 2 + 3 + 1
+        ts = 0.02 * np.arange(Ts)
+        rngs = np.random.default_rng(7)
+        zts = []
+        for b in range(Bs):
+            ph = rngs.uniform(0, 2 * np.pi)
+            zz = np.zeros((Ts, nz_s))
+            zz[:, 0] = 2.0 * np.cos(2 * np.pi * ts / 6.0 + ph) - 2.0 * np.cos(ph)
+            zz[:, 1] = 2.0 * np.sin(2 * np.pi * ts / 6.0 + ph) - 2.0 * np.sin(ph)
+            zts.append(window_targets(zz, n_win_s, 2, 3))
+        zts = jnp.asarray(np.stack(zts), dtype)
+        x0s_s = jnp.zeros((Bs, smodel.state_dim), dtype)
+        runS = smpc.build_fused(n_win_s)
+        t_ssm = timeit(lambda: runS(x0s_s, zts), warmup=2, iters=5)
+        ssm_windows_per_sec = Bs * n_win_s / t_ssm
+    except Exception as e:  # keep the primary metrics robust
+        ssm_src = f"skipped: {type(e).__name__}: {e}"
+
     result = {
         "metric": "gusto_mpc_step_ms_diamond",
         "value": round(mpc_ms, 4),
@@ -178,6 +353,19 @@ def main():
             "batched_full_gusto_solves_per_sec_64way": round(gusto_solves_per_sec, 1),
             "batched_full_gusto_solves_per_sec_64way_sparse": round(gusto_solves_per_sec_sparse, 1),
             "batched_full_gusto_solves_per_sec_64way_xla": round(gusto_solves_per_sec_xla, 1),
+            "model_source": model_src,
+            "dict_points_P": int(model.num_points),
+            "reduced_dim_r": int(model.rom.rom_dim),
+            "batched_mpc_rel_tracking_err_condensed": round(track_cond, 4),
+            "batched_mpc_rel_tracking_err_sparse": round(track_sparse, 4),
+            "admm_flops_per_window_analytic": int(flops_cond),
+            "achieved_tflops_batched_mpc": round(achieved_tflops, 4),
+            "pct_of_v5e_f32_peak": round(pct_peak, 3),
+            "n200_trajopt_solves_per_sec_cr": round(n200_cr_per_sec, 2),
+            "n200_trajopt_solves_per_sec_scan": round(n200_scan_per_sec, 2),
+            "ssm_mpc_windows_per_sec_1024way": (round(ssm_windows_per_sec, 1)
+                                                if ssm_windows_per_sec else None),
+            "ssm_model_source": ssm_src,
             "device": str(jax.devices()[0]),
         },
     }

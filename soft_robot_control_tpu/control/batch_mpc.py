@@ -316,10 +316,12 @@ class BatchMPC:
 
     def _gather_traj(self, x_k):
         m = self.model
-        return jax.vmap(
-            lambda x: (m.A_d[m.calc_nearest_point(x)],
-                       m.B_d[m.calc_nearest_point(x)],
-                       m.d_d[m.calc_nearest_point(x)]))(x_k[:-1])
+
+        def one(x):
+            i = m.calc_nearest_point(x)  # one argmin, three gathers
+            return m.A_d[i], m.B_d[i], m.d_d[i]
+
+        return jax.vmap(one)(x_k[:-1])
 
     def _condensed_params(self, Ad, Bd, dd, x0, z_win):
         from soft_robot_control_tpu.scp.locp_condensed import CondensedParams
@@ -564,8 +566,12 @@ class BatchSSMMPC:
 
     def __init__(self, model, Qz, R, N: int, dt: float, N_replan: int = 1,
                  U=None, dU=None, qp_iters: int = 100, rho: float = 0.1,
-                 x_step: str = "kinv", formulation: str = "sparse",
+                 x_step: str = "kinv", formulation: str = "condensed",
                  dtype=jnp.float64):
+        # formulation default is 'condensed' (states eliminated exactly,
+        # scp/locp_condensed.py — incl. the time-varying Hd/cd objective):
+        # no dynamics-equality residual survives fixed ADMM iterations and
+        # the fused launch runs ~4x the sparse throughput (bench.py).
         self.dt = float(dt)
         self.N = int(N)
         self.N_replan = int(N_replan)

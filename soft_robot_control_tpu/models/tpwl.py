@@ -234,9 +234,11 @@ class TPWLModel:
         """Discretize every dictionary point in one vmapped batch. A
         discrete-native dictionary (A_d already present at this dt, e.g.
         built by TetFEM.reduced_discrete_dynamics) is returned as-is."""
-        if (self.A_d is not None and self.pre_discretized_dt is not None
-                and abs(self.pre_discretized_dt - float(dt)) < 1e-12):
-            return self
+        if self.A_d is not None and self.pre_discretized_dt is not None:
+            if abs(self.pre_discretized_dt - float(dt)) < 1e-12:
+                return self
+            # re-discretize the continuous matrices below at the new dt
+            # (valid: discrete-mode dictionaries carry both families)
         if self.tpwl_method != "nn":
             raise RuntimeError("tpwl method should be nn to pre-discretize")
         A_d, B_d, d_d = disc.discretize_affine_batch(

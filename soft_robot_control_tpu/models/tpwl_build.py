@@ -130,6 +130,7 @@ def build_tpwl_model(plant: FEMSurrogate, rom: POD, x_traj, u_traj,
 
     sel_q, sel_v, sel_u = [], [], []
     A_list, B_list, d_list = [], [], []
+    Ad_list, Bd_list, dd_list = [], [], []
     sel_steps = []
     dt = dt if dt is not None else getattr(config, "dt", None)
 
@@ -145,22 +146,26 @@ def build_tpwl_model(plant: FEMSurrogate, rom: POD, x_traj, u_traj,
         sel_q.append(qr[i])
         sel_v.append(vr[i])
         sel_u.append(u_traj[i])
-        if dynamics == "discrete":
-            xnr = (jnp.asarray(xn_r[i]) if xn_r is not None
-                   else rom.project_x(plant.step(jnp.asarray(x_traj[i]),
-                                                 jnp.asarray(u_traj[i]), dt)))
-            A, B, d = jac_d(x_traj[i], u_traj[i], xnr)
-        else:
-            A, B, d = jac(x_traj[i], u_traj[i])
+        A, B, d = jac(x_traj[i], u_traj[i])
         A_list.append(np.asarray(A))
         B_list.append(np.asarray(B))
         d_list.append(np.asarray(d))
+        if dynamics == "discrete":
+            # the dictionary carries BOTH continuous and discrete dynamics,
+            # like the reference's add_continuous/add_discrete pair
+            xnr = (jnp.asarray(xn_r[i]) if xn_r is not None
+                   else rom.project_x(plant.step(jnp.asarray(x_traj[i]),
+                                                 jnp.asarray(u_traj[i]), dt)))
+            Ad, Bd, dd = jac_d(x_traj[i], u_traj[i], xnr)
+            Ad_list.append(np.asarray(Ad))
+            Bd_list.append(np.asarray(Bd))
+            dd_list.append(np.asarray(dd))
 
     def partial_model():
         kw = {}
         if dynamics == "discrete":
-            kw = dict(A_d=np.asarray(A_list), B_d=np.asarray(B_list),
-                      d_d=np.asarray(d_list), pre_discretized_dt=float(dt))
+            kw = dict(A_d=np.asarray(Ad_list), B_d=np.asarray(Bd_list),
+                      d_d=np.asarray(dd_list), pre_discretized_dt=float(dt))
         return TPWLModel(
             q=np.asarray(sel_q), v=np.asarray(sel_v), u=np.asarray(sel_u),
             A_c=np.asarray(A_list), B_c=np.asarray(B_list),
@@ -212,8 +217,8 @@ def build_tpwl_model(plant: FEMSurrogate, rom: POD, x_traj, u_traj,
     dw = params.get("dist_weights") or {"q": 1.0, "v": 1.0}
     kw = {}
     if dynamics == "discrete":
-        kw = dict(A_d=np.asarray(A_list), B_d=np.asarray(B_list),
-                  d_d=np.asarray(d_list), pre_discretized_dt=float(dt))
+        kw = dict(A_d=np.asarray(Ad_list), B_d=np.asarray(Bd_list),
+                  d_d=np.asarray(dd_list), pre_discretized_dt=float(dt))
     model = TPWLModel(
         q=np.asarray(sel_q), v=np.asarray(sel_v), u=np.asarray(sel_u),
         A_c=np.asarray(A_list), B_c=np.asarray(B_list), d_c=np.asarray(d_list),

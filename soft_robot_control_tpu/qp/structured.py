@@ -125,9 +125,17 @@ def btd_solve(L_diag: jnp.ndarray, L_off: jnp.ndarray, rhs: jnp.ndarray):
 
 
 class StructuredKKT:
-    """Pre-permuted structured solver for a LOCPSpec problem (tr off)."""
+    """Pre-permuted structured solver for a LOCPSpec problem (tr off).
 
-    def __init__(self, N: int, nx: int, nu: int, dtype=jnp.float64):
+    method='cr' (default) solves with block cyclic reduction — log2(N)
+    levels of batched block ops (qp/cyclic_reduction.py), the TPU-fast
+    path. method='scan' keeps the sequential block-tridiagonal Cholesky."""
+
+    def __init__(self, N: int, nx: int, nu: int, dtype=jnp.float64,
+                 method: str = "cr"):
+        if method not in ("cr", "scan"):
+            raise ValueError(f"unknown method {method!r}")
+        self.method = method
         self.N, self.nx, self.nu = int(N), int(nx), int(nu)
         self.nb = nx + nu
         self.perm = jnp.asarray(stage_permutation(N, nx, nu))
@@ -137,15 +145,21 @@ class StructuredKKT:
     def factor(self, K: jnp.ndarray):
         Kp = K[self.perm][:, self.perm]
         diag, lower = extract_btd_blocks(Kp, self.N, self.nb, self.nx)
+        if self.method == "cr":
+            from soft_robot_control_tpu.qp.cyclic_reduction import cr_factor
+            return cr_factor(diag, lower)
         return btd_factor(diag, lower)
 
     def solve(self, factors, rhs: jnp.ndarray):
-        L_diag, L_off = factors
         rp = rhs[self.perm]
         pad = self.nb - self.nx
         rp_pad = jnp.concatenate([rp, jnp.zeros(pad, rhs.dtype)])
         blocks = rp_pad.reshape(self.N + 1, self.nb)
-        w_blocks = btd_solve(L_diag, L_off, blocks)
+        if self.method == "cr":
+            from soft_robot_control_tpu.qp.cyclic_reduction import cr_solve
+            w_blocks = cr_solve(factors, blocks)
+        else:
+            w_blocks = btd_solve(*factors, blocks)
         w_pad = w_blocks.reshape(-1)[:self.n_total]
         # invert the permutation
         out = jnp.zeros_like(w_pad)

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from soft_robot_control_tpu.qp.admm import OSQP_RHO_EQ_SCALE
+from soft_robot_control_tpu.qp.cyclic_reduction import cr_factor, cr_solve
 from soft_robot_control_tpu.qp.structured import btd_factor, btd_solve
 
 
@@ -40,7 +41,13 @@ class StageLOCP:
 
     def __init__(self, N, H, Qz, R, U=None, dU=None, X=None, rho: float = 0.1,
                  sigma: float = 1e-6, trust_region: bool = False,
-                 x_char=None, dtype=jnp.float64):
+                 x_char=None, dtype=jnp.float64, kkt_solver: str = "cr"):
+        if kkt_solver not in ("cr", "scan"):
+            raise ValueError(f"unknown kkt_solver {kkt_solver!r}")
+        # 'cr' = block cyclic reduction (qp/cyclic_reduction.py): log2(N)
+        # levels of batched block ops — the TPU-fast default. 'scan' = the
+        # sequential block-tridiagonal Cholesky (O(N) small ops in series).
+        self.kkt_solver = kkt_solver
         self.N = int(N)
         self.H = np.asarray(H, float)
         self.Qz = np.asarray(Qz, float)
@@ -340,7 +347,10 @@ class StageLOCP:
         sigma = self.sigma
 
         diag, lower = self.K_blocks(Ad, Bd)
-        factors = btd_factor(diag, lower)
+        if self.kkt_solver == "cr":
+            factors = cr_factor(diag, lower)
+        else:
+            factors = btd_factor(diag, lower)
 
         w = jnp.zeros(self.n_var, dt) if w0 is None else w0
         y = jnp.zeros(self.n_con, dt) if y0 is None else y0
@@ -350,7 +360,10 @@ class StageLOCP:
             w, zc, y = carry
             rhs = sigma * w - q + self.At_mv(Ad, Bd, rho * zc - y)
             rhs_blocks = self.to_stages(rhs)
-            w_t = self.from_stages(btd_solve(*factors, rhs_blocks))
+            if self.kkt_solver == "cr":
+                w_t = self.from_stages(cr_solve(factors, rhs_blocks))
+            else:
+                w_t = self.from_stages(btd_solve(*factors, rhs_blocks))
             z_t = self.A_mv(Ad, Bd, w_t)
             w_new = alpha * w_t + (1 - alpha) * w
             z_rel = alpha * z_t + (1 - alpha) * zc

@@ -74,3 +74,68 @@ def test_admm_btd_matches_dense_admm():
     w1, y1 = admm_fixed(P, q, A, l, u, w0, y0, rho_vec, 150)
     w2, y2 = admm_fixed_btd(P, q, A, l, u, w0, y0, rho_vec, 150, skkt)
     np.testing.assert_allclose(np.asarray(w2), np.asarray(w1), atol=1e-8)
+
+
+@pytest.mark.parametrize("method", ["cr", "scan"])
+def test_structured_kkt_methods_agree(method):
+    """Cyclic reduction and scan Cholesky solve the same KKT system."""
+    N, nx, nu = 13, 6, 3
+    rng = np.random.default_rng(5)
+    n = (N + 1) * nx + N * nu
+    # SPD K with LOCP block-tridiagonal sparsity via a random stage QP
+    from tests.test_structured import _make_locp_like  # self-import guard
+    K, rhs = _make_locp_like(N, nx, nu, rng)
+    skkt = StructuredKKT(N, nx, nu, method=method)
+    w = np.asarray(skkt.solve(skkt.factor(jnp.asarray(K)), jnp.asarray(rhs)))
+    w_dense = np.linalg.solve(K, rhs)
+    np.testing.assert_allclose(w, w_dense, rtol=1e-9, atol=1e-9)
+
+
+def _make_locp_like(N, nx, nu, rng):
+    """An SPD matrix with the LOCP's block-tridiagonal stage structure."""
+    n = (N + 1) * nx + N * nu
+    off_u = (N + 1) * nx
+    K = np.zeros((n, n))
+    for k in range(N + 1):
+        A = rng.normal(size=(nx, nx))
+        K[k * nx:(k + 1) * nx, k * nx:(k + 1) * nx] = A @ A.T + nx * np.eye(nx)
+    for k in range(N):
+        Au = rng.normal(size=(nu, nu))
+        K[off_u + k * nu:off_u + (k + 1) * nu,
+          off_u + k * nu:off_u + (k + 1) * nu] = Au @ Au.T + nu * np.eye(nu)
+        # dynamics-style couplings x_k -(x_{k+1}, u_k)
+        Cxx = 0.2 * rng.normal(size=(nx, nx))
+        K[(k + 1) * nx:(k + 2) * nx, k * nx:(k + 1) * nx] += Cxx
+        K[k * nx:(k + 1) * nx, (k + 1) * nx:(k + 2) * nx] += Cxx.T
+        Cxu = 0.2 * rng.normal(size=(nu, nx))
+        K[off_u + k * nu:off_u + (k + 1) * nu, k * nx:(k + 1) * nx] += Cxu
+        K[k * nx:(k + 1) * nx, off_u + k * nu:off_u + (k + 1) * nu] += Cxu.T
+    rhs = rng.normal(size=n)
+    return K, rhs
+
+
+def test_stage_locp_cr_matches_scan():
+    """StageLOCP ADMM with the cyclic-reduction x-step reproduces the scan
+    x-step exactly (same fixed iterations)."""
+    from soft_robot_control_tpu.scp.locp_stages import StageLOCP
+    from soft_robot_control_tpu.core.constraints import HyperRectangle
+
+    N, nx, nu, nz = 9, 6, 3, 2
+    rng = np.random.default_rng(7)
+    H = rng.normal(size=(nz, nx))
+    Qz = np.eye(nz)
+    R = 0.1 * np.eye(nu)
+    U = HyperRectangle(2.0 * np.ones(nu), -2.0 * np.ones(nu))
+    Ad = np.stack([np.eye(nx) + 0.05 * rng.normal(size=(nx, nx))
+                   for _ in range(N)])
+    Bd = 0.1 * rng.normal(size=(N, nx, nu))
+    dd = 0.01 * rng.normal(size=(N, nx))
+    x0 = 0.1 * rng.normal(size=nx)
+    z = 0.3 * rng.normal(size=(N + 1, nz))
+    outs = {}
+    for method in ("cr", "scan"):
+        st = StageLOCP(N, H, Qz, R, U=U, kkt_solver=method)
+        outs[method] = st.solve(Ad, Bd, dd, x0, z, iters=120)
+    np.testing.assert_allclose(np.asarray(outs["cr"][0]),
+                               np.asarray(outs["scan"][0]),
+                               rtol=1e-8, atol=1e-8)
