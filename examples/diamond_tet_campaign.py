@@ -43,6 +43,10 @@ def main():
     ap.add_argument("--threshold", type=float, default=40.0,
                     help="TPWL distance threshold (reduced weighted units)")
     ap.add_argument("--pod-tol", type=float, default=5e-5)
+    ap.add_argument("--rom-dim", type=int, default=30,
+                    help="explicit POD dimension; the energy tolerance "
+                    "alone over-selects on float32 campaign data whose "
+                    "singular tail sits at the numerical noise floor")
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--skip-mpc", action="store_true")
     ap.add_argument("--sim-duration", type=float, default=11.0)
@@ -86,7 +90,7 @@ def main():
           flush=True)
 
     res = recipes.compute_pod_basis(d, pod_tolerance=args.pod_tol,
-                                    pod_type="a")
+                                    pod_type="a", rom_dim=args.rom_dim)
     r = res["POD_info"]["U"].shape[1]
     print(f"[{time.time()-t0:6.1f}s] POD basis: r = {r}", flush=True)
 
@@ -120,10 +124,13 @@ def main():
     from soft_robot_control_tpu.core.constraints import HyperRectangle
     U = HyperRectangle(1500.0 * np.ones(4), np.zeros(4))
 
+    import jax.numpy as jnp
     sim = recipes.run_scp(robot, d, tt, z_target, dt_solver=0.05, N=5,
                           N_replan=2, Qz=Qz, R=R,
                           sim_duration=args.sim_duration, delay=1.0, U=U,
-                          save_prefix="scp_fig8")
+                          save_prefix="scp_fig8",
+                          dtype=jnp.float64 if dtype == "float64"
+                          else jnp.float32)
     z = np.asarray(sim["z"])
     t = np.asarray(sim["t"])
     zt = np.stack([np.interp(t, tt, z_target[:, j]) for j in range(3)],

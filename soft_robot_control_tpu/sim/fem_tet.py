@@ -465,16 +465,21 @@ class TetFEM:
             return (k < self.cg_iters) & jnp.any(
                 jnp.linalg.norm(Rr, axis=0) > self.cg_tol * nr0)
 
+        tiny = jnp.asarray(jnp.finfo(B_cols.dtype).tiny, B_cols.dtype)
+
         def body(c):
             k, X, Rr, Z, P, rz = c
             Ap = op(P)
-            denom = jnp.maximum(jnp.sum(P * Ap, axis=0), 1e-300)
+            # guards must be representable in the working dtype: converged
+            # columns keep iterating until the slowest one finishes, and an
+            # underflowing denominator would turn them into 0/0 NaNs
+            denom = jnp.maximum(jnp.sum(P * Ap, axis=0), tiny)
             a = rz / denom
             X = X + a * P
             Rr = Rr - a * Ap
             Z = prec(Rr)
             rz2 = jnp.sum(Rr * Z, axis=0)
-            P = Z + (rz2 / jnp.maximum(rz, 1e-300)) * P
+            P = Z + (rz2 / jnp.maximum(rz, tiny)) * P
             return (k + 1, X, Rr, Z, P, rz2)
 
         _, X, _, _, _, _ = jax.lax.while_loop(
@@ -875,3 +880,34 @@ def trunk_tet_fem(*, young: float = 450.0, poisson: float = 0.45,
     if use_cache:
         _save_plant(plant, cpath)
     return plant
+
+
+def make_box_mesh(nx: int = 3, ny: int = 3, nz: int = 5, spacing: float = 10.0):
+    """Small synthetic box tet mesh (each grid cell split into 5 tets) for
+    fast tests — same element machinery as the reference meshes without the
+    multi-second build."""
+    xs = np.arange(nx) * spacing
+    ys = np.arange(ny) * spacing
+    zs = np.arange(nz) * spacing
+    pts = np.stack(np.meshgrid(xs, ys, zs, indexing="ij"),
+                   axis=-1).reshape(-1, 3)
+
+    def nid(i, j, k):
+        return (i * ny + j) * nz + k
+
+    tets = []
+    for i in range(nx - 1):
+        for j in range(ny - 1):
+            for k in range(nz - 1):
+                v = [nid(i, j, k), nid(i + 1, j, k), nid(i, j + 1, k),
+                     nid(i + 1, j + 1, k), nid(i, j, k + 1),
+                     nid(i + 1, j, k + 1), nid(i, j + 1, k + 1),
+                     nid(i + 1, j + 1, k + 1)]
+                if (i + j + k) % 2 == 0:
+                    cells = [(0, 1, 3, 5), (0, 3, 2, 6), (0, 5, 6, 4),
+                             (3, 5, 6, 7), (0, 3, 6, 5)]
+                else:
+                    cells = [(1, 0, 2, 4), (1, 2, 3, 7), (1, 4, 7, 5),
+                             (2, 4, 6, 7), (1, 2, 7, 4)]
+                tets.extend([tuple(v[c] for c in cell) for cell in cells])
+    return pts.astype(np.float64), np.asarray(tets, dtype=np.int32)

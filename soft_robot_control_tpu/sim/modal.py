@@ -32,7 +32,20 @@ def mode_shapes(plant: FEMSurrogate, n_modes: Optional[int] = None):
     the role of the reference's MATLAB-exported mode1-3.mat vectors
     (robots/data/, used by launch_sofa_modal_analysis.py:96-126).
     """
-    K = np.asarray(plant.K, float)
+    K = np.asarray(plant.K0 if hasattr(plant, "K0") else plant.K, float)
+    if hasattr(plant, "free_mask"):  # restrict to free dofs (Dirichlet base)
+        free = np.asarray(plant.free_mask) > 0
+        Kf = K[np.ix_(free, free)]
+        m = float(plant.m_node)
+        w2f, phif = np.linalg.eigh(Kf / m)
+        phi_full = np.zeros((K.shape[0], phif.shape[1]))
+        phi_full[free] = phif
+        order = np.argsort(np.maximum(w2f, 0.0))
+        w = np.sqrt(np.maximum(w2f, 0.0)[order])
+        phi = phi_full[:, order]
+        if n_modes is not None:
+            w, phi = w[:n_modes], phi[:, :n_modes]
+        return w, phi
     m = float(plant.m_node)
     w2, phi = np.linalg.eigh(K / m)
     w2 = np.maximum(w2, 0.0)
@@ -94,3 +107,29 @@ def modal_decay_batch(plant: FEMSurrogate, modes, amplitudes: Sequence[float],
                     results[name] = np.concatenate(
                         (np.asarray(data["v"]), np.asarray(data["q"])), axis=1)
     return results
+
+
+REFERENCE_MODE_DIR = "/root/reference/robots/data"
+
+
+def load_reference_modes(mode_dir: str = None, transform: bool = True):
+    """Load the shipped Diamond mode-shape vectors mode1-3.mat
+    (robots/data/, each (3, 1628) per-node displacement), flattened to
+    (4884,) and rotated into the Diamond scene frame (the loader applies
+    rotation [90,0,0]; displacement vectors rotate, translations don't) —
+    ready to drive `modal_decay_batch` exactly like
+    launch_sofa_modal_analysis.py:96-126 uses them with q0 * scale_mode."""
+    import scipy.io as sio
+
+    mode_dir = mode_dir or REFERENCE_MODE_DIR
+    modes = []
+    for i in (1, 2, 3):
+        m = sio.loadmat(os.path.join(mode_dir, f"mode{i}.mat"))
+        vec = np.asarray(m[f"mode{i}"], float)          # (3, n_nodes)
+        if transform:
+            R = np.array([[1.0, 0.0, 0.0],
+                          [0.0, 0.0, -1.0],
+                          [0.0, 1.0, 0.0]])             # Rx(90 deg)
+            vec = R @ vec
+        modes.append(vec.T.reshape(-1))                 # (3 n_nodes,)
+    return np.stack(modes)

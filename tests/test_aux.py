@@ -151,3 +151,33 @@ def test_launcher_cli(tmp_path):
         last = out.stdout.strip().splitlines()[-1]
         res = json.loads(last)
         assert key in res, res
+
+
+def test_baseline_comparison(tmp_path):
+    """Baseline-comparison analysis (tasks/baseline_comparison.py):
+    reference MSE methodology + figure set over multiple labeled runs
+    (examples/hardware/plotting.py role)."""
+    import numpy as np
+    from soft_robot_control_tpu.tasks.baseline_comparison import (
+        compare_runs, load_run, tracking_mse)
+    from soft_robot_control_tpu.utils.io import save_data
+
+    t = np.arange(0, 5, 0.01)
+    z_target = np.stack([np.sin(t), np.cos(t)], axis=1)
+    runs = {}
+    for label, lag in (("good", 0.0), ("laggy", 0.3)):
+        z = np.stack([np.sin(t - lag), np.cos(t - lag)], axis=1)
+        sim = {"t": t, "z": z, "u": np.zeros((len(t), 4)),
+               "info": {"solve_times": 1e-3 * np.abs(np.random.default_rng(0)
+                                                     .normal(1, 0.1, 50))}}
+        p = str(tmp_path / f"{label}_sim.pkl")
+        save_data(p, sim)
+        runs[label] = load_run(p, t_start=0.0)
+    table = compare_runs(runs, t, z_target, dims=(0, 1),
+                         realtime_limit=0.01,
+                         save_prefix=str(tmp_path / "cmp"))
+    assert table["good"]["mse"] < table["laggy"]["mse"]
+    assert (tmp_path / "cmp_xy.png").exists()
+    assert (tmp_path / "cmp_t.png").exists()
+    assert (tmp_path / "cmp_solvetimes.png").exists()
+    assert table["good"]["solve_times"]["n"] == 50
