@@ -57,12 +57,14 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
         dtype = "float64"
+        # no persistent compile cache on CPU (foreign-host AOT entries hang
+        # at load; see trunk_ssm_campaign.py note)
     else:
         dtype = "float32"
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.dirname(
-                          os.path.abspath(__file__))), ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(os.path.dirname(
+                              os.path.abspath(__file__))), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import numpy as np
     from soft_robot_control_tpu.robots.robots import DiamondTetRobot

@@ -57,12 +57,16 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
         np_dtype_name = "float64"
+        # NOTE: no persistent compilation cache on CPU — entries written on
+        # a different host CPU hang/miscompile at load (cpu_aot_loader
+        # machine-feature mismatch); the cache is for the remote TPU
+        # compiler only.
     else:
         np_dtype_name = "float32"
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.dirname(
-                          os.path.abspath(__file__))), ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(os.path.dirname(
+                              os.path.abspath(__file__))), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import numpy as np
     import jax.numpy as jnp
@@ -96,9 +100,12 @@ def main():
     if args.quick:
         levels = levels[:3]
 
-    # actuated runs for the B fit: smooth multi-sine inputs
+    # actuated runs for the B fit: smooth multi-sine inputs. Length matches
+    # the decay sims exactly so the whole campaign compiles ONE scan shape.
     dt = robot.dt
-    T_act = int((2.0 if args.quick else 4.0) / dt)
+    hold_t = 1.5 if args.quick else 2.5
+    decay_t = 2.5 if args.quick else 4.0
+    T_act = int(round((hold_t + decay_t) / dt))
     tt = dt * np.arange(T_act)
     rng = np.random.default_rng(0)
     acts = []
@@ -112,8 +119,8 @@ def main():
 
     model = train_ssm_native(
         plant, Hf, levels, state_dim=6, SSM_order=3, ROM_order=3,
-        n_delay=0, hold_time=1.5 if args.quick else 2.5,
-        decay_time=2.5 if args.quick else 4.0, dt=dt, settle_skip=5,
+        n_delay=0, hold_time=hold_t, decay_time=decay_t, dt=dt,
+        settle_skip=5,
         actuated_inputs=acts, ridge=[1e-8, 1e-6, 1e-4, 1e-2],
         save_path=os.path.join(args.out, "trunk_SSM_model.mat"))
     print(f"[{time.time()-t0:6.1f}s] SSM trained: state_dim "

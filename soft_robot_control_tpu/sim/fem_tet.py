@@ -57,6 +57,12 @@ from soft_robot_control_tpu.core.packing import qv2x, x2qv
 
 REFERENCE_MESH_DIR = "/root/reference/robots/mesh"
 
+# TPU matmul/einsum default precision is bf16; the element-stiffness
+# contractions and the preconditioner matmuls need f32 accumulation
+# (bf16-rounded forces destabilize the implicit solve), so every
+# matmul-like contraction in this module pins HIGHEST precision.
+_HI = jax.lax.Precision.HIGHEST
+
 
 # ---------------------------------------------------------------------------
 # Mesh IO
@@ -209,12 +215,12 @@ def _linear_element_forces(pos_e, Bm, vol, mu, lam):
     Ds = jnp.stack([pos_e[:, 1] - pos_e[:, 0],
                     pos_e[:, 2] - pos_e[:, 0],
                     pos_e[:, 3] - pos_e[:, 0]], axis=-1)  # (E,3,3)
-    F = jnp.einsum("eij,ejk->eik", Ds, Bm)
+    F = jnp.einsum("eij,ejk->eik", Ds, Bm, precision=_HI)
     I3 = jnp.eye(3, dtype=pos_e.dtype)
     eps = 0.5 * (F + jnp.swapaxes(F, -1, -2)) - I3
     tre = jnp.trace(eps, axis1=-2, axis2=-1)
     sigma = 2.0 * mu * eps + lam * tre[:, None, None] * I3
-    Hm = -vol[:, None, None] * jnp.einsum("eij,ekj->eik", sigma, Bm)
+    Hm = -vol[:, None, None] * jnp.einsum("eij,ekj->eik", sigma, Bm, precision=_HI)
     f123 = jnp.swapaxes(Hm, 1, 2)  # columns -> rows: (E, 3 verts, 3)
     f0 = -jnp.sum(f123, axis=1, keepdims=True)
     return jnp.concatenate([f0, f123], axis=1)  # (E,4,3)
@@ -303,7 +309,7 @@ class TetFEM:
         pos = q.reshape(-1, 3)[self.tets]
         Ds = jnp.stack([pos[:, 1] - pos[:, 0], pos[:, 2] - pos[:, 0],
                         pos[:, 3] - pos[:, 0]], axis=-1)
-        return _polar_rotations(jnp.einsum("eij,ejk->eik", Ds, self.Bm))
+        return _polar_rotations(jnp.einsum("eij,ejk->eik", Ds, self.Bm, precision=_HI))
 
     def node_rotations(self, R):
         """Per-node rotations (n,3,3): polar of the volume-weighted average
@@ -340,20 +346,20 @@ class TetFEM:
 
     def _f_int_frozen(self, q, R):
         pos = self._gather(q)
-        loc = jnp.einsum("eji,evj->evi", R, pos)
+        loc = jnp.einsum("eji,evj->evi", R, pos, precision=_HI)
         rest = self._gather(self.rest_pos)
         d = (loc - rest).reshape(-1, 12)
-        floc = -jnp.einsum("eij,ej->ei", self.Ke, d).reshape(-1, 4, 3)
-        return self._scatter(jnp.einsum("eij,evj->evi", R, floc))
+        floc = -jnp.einsum("eij,ej->ei", self.Ke, d, precision=_HI).reshape(-1, 4, 3)
+        return self._scatter(jnp.einsum("eij,evj->evi", R, floc, precision=_HI))
 
     def kt_frozen_matvec(self, w, R):
         """Corotational-tangent matvec K_t w = sum_e R_e K_e R_e^T w with the
         rotations frozen — SPD; used by the per-step PCG solve (the same
         tangent SOFA assembles)."""
         we = self._gather(w)
-        loc = jnp.einsum("eji,evj->evi", R, we).reshape(-1, 12)
-        kl = jnp.einsum("eij,ej->ei", self.Ke, loc).reshape(-1, 4, 3)
-        return self._scatter(jnp.einsum("eij,evj->evi", R, kl))
+        loc = jnp.einsum("eji,evj->evi", R, we, precision=_HI).reshape(-1, 12)
+        kl = jnp.einsum("eij,ej->ei", self.Ke, loc, precision=_HI).reshape(-1, 4, 3)
+        return self._scatter(jnp.einsum("eij,evj->evi", R, kl, precision=_HI))
 
     # forces ------------------------------------------------------------
     def force(self, q, v, u):
@@ -396,12 +402,15 @@ class TetFEM:
         def op(w):
             return c_mass * w + c_stiff * self.kt_frozen_matvec(w, R)
 
+        hi = jax.lax.Precision.HIGHEST  # TPU default matmul precision is
+        # bf16: enough to NaN the PCG via a corrupted preconditioner
+
         def prec(r):
-            rl = jnp.einsum("nji,nj->ni", Rn, r.reshape(-1, 3)).reshape(-1)
-            zl = self.S_q @ ((self.S_q.T @ (rl * self.free_mask))
-                             / self.S_lam)
+            rl = jnp.einsum("nji,nj->ni", Rn, r.reshape(-1, 3), precision=_HI).reshape(-1)
+            w1 = jnp.matmul(self.S_q.T, rl * self.free_mask, precision=hi)
+            zl = jnp.matmul(self.S_q, w1 / self.S_lam, precision=hi)
             zl = (zl * self.free_mask).reshape(-1, 3)
-            return (jnp.einsum("nij,nj->ni", Rn, zl).reshape(-1)
+            return (jnp.einsum("nij,nj->ni", Rn, zl, precision=_HI).reshape(-1)
                     * self.free_mask)
 
         z0 = prec(rhs)
@@ -447,14 +456,18 @@ class TetFEM:
                           out_axes=1)(W)
             return c_mass * W + c_stiff * KW
 
+        hi = jax.lax.Precision.HIGHEST  # see step(): bf16 default matmuls
+        # corrupt the preconditioner enough to blow up f32 PCG on TPU
+
         def prec(Rr):
             rl = jnp.einsum("nji,nvj->nvi", Rn,
-                            Rr.reshape(self.n_nodes, 3, -1).swapaxes(1, 2))
+                            Rr.reshape(self.n_nodes, 3, -1).swapaxes(1, 2), precision=_HI)
             rl = rl.swapaxes(1, 2).reshape(Rr.shape) * fm
-            Z = (self.S_q @ ((self.S_q.T @ rl)
-                             / self.S_lam[:, None])) * fm
+            W1 = jnp.matmul(self.S_q.T, rl, precision=hi)
+            Z = jnp.matmul(self.S_q, W1 / self.S_lam[:, None],
+                           precision=hi) * fm
             zl = jnp.einsum("nij,nvj->nvi", Rn,
-                            Z.reshape(self.n_nodes, 3, -1).swapaxes(1, 2))
+                            Z.reshape(self.n_nodes, 3, -1).swapaxes(1, 2), precision=_HI)
             return zl.swapaxes(1, 2).reshape(Rr.shape) * fm
 
         Z0 = prec(B_cols)

@@ -179,8 +179,12 @@ def run_scp(robot, save_dir: str, t_target, z_target, dt_solver=None, N=5,
     R = R if R is not None else 1e-3 * np.eye(robot.n_cables)
 
     x0 = np.asarray(model.rom.project_x(model.rom.x_ref))
+    # the solver works in shifted output coordinates z = H x_r; absolute
+    # targets must be shifted by z_ref first, exactly like the reference's
+    # z = model.zfyf_to_zy(zf=zf_target) (examples/diamond/diamond.py:283)
+    z_solver = np.asarray(model.zfyf_to_zy(zf=jnp.asarray(z_target)))
     service = GuSTOService(gmodel, N, dt_solver, Qz, R, x0, t=t_target,
-                           z=np.asarray(z_target), U=U, dU=dU,
+                           z=z_solver, U=U, dU=dU,
                            max_gusto_iters=gusto_kwargs.pop("max_gusto_iters", 5),
                            convg_thresh=gusto_kwargs.pop("convg_thresh", 1e-2),
                            **gusto_kwargs)
