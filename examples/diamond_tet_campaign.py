@@ -126,11 +126,19 @@ def main():
     from soft_robot_control_tpu.core.constraints import HyperRectangle
     U = HyperRectangle(1500.0 * np.ones(4), np.zeros(4))
 
+    # Solver runs at the dictionary-native dt (the discrete TPWL maps are
+    # exact at dt=0.01; re-discretizing the continuous family at a larger
+    # solver dt reintroduces the Galerkin resolvent error at this scale).
+    # Real-time configuration: one LOCP per MPC query (max_gusto_iters=0,
+    # the reference's diamond_SSM.py:361 setting) with the trust region off
+    # — the slacked infinity-norm TR epigraph is ADMM-hostile at these
+    # dimensions (the reference resorts to GUROBI for it, diamond.py:316).
     import jax.numpy as jnp
-    sim = recipes.run_scp(robot, d, tt, z_target, dt_solver=0.05, N=5,
+    sim = recipes.run_scp(robot, d, tt, z_target, dt_solver=robot.dt, N=10,
                           N_replan=2, Qz=Qz, R=R,
                           sim_duration=args.sim_duration, delay=1.0, U=U,
                           save_prefix="scp_fig8",
+                          max_gusto_iters=0, is_tr_active=False,
                           dtype=jnp.float64 if dtype == "float64"
                           else jnp.float32)
     z = np.asarray(sim["z"])

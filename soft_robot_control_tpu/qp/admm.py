@@ -149,6 +149,7 @@ def solve_qp_dense(P, q, A, l, u,
                    eps_abs: float = 1e-8, eps_rel: float = 1e-8,
                    max_iter: int = 4000, check_every: int = 25,
                    polish: bool = True, adaptive_rho: bool = True,
+                   rho_every: int = 200,
                    scaling_iters: int = 10) -> QPSolution:
     """Solve the QP with OSQP semantics. All args dense; jittable; warm-start
     via (x0, y0). Defaults target 1e-8 residuals (tighter than OSQP's 1e-3
@@ -221,10 +222,29 @@ def solve_qp_dense(P, q, A, l, u,
             done = (pri <= eps_abs + eps_rel * pri_sc) & \
                    (dua <= eps_abs + eps_rel * dua_sc)
             if adaptive_rho:
-                ratio = jnp.sqrt((pri / jnp.maximum(pri_sc, 1e-12))
-                                 / jnp.maximum(dua / jnp.maximum(dua_sc, 1e-12), 1e-18))
+                # rho acts in the Ruiz-SCALED space, so the balance ratio
+                # must use scaled residuals (OSQP sec 5.2), and adaptation
+                # must be RARE (OSQP's adaptive_rho_interval ~ 200):
+                # re-balancing every termination check sets up a rho limit
+                # cycle on slack-epigraph QPs (rho 0.6 -> 1e-3 -> 1e-6 with
+                # the slack exploding to +-1e4, observed on the condensed
+                # trust-region LOCP).
+                Ax_s = A @ x_new
+                pri_s = jnp.max(jnp.abs(Ax_s - z_new))
+                pri_s_sc = jnp.maximum(jnp.max(jnp.abs(Ax_s)),
+                                       jnp.max(jnp.abs(z_new)))
+                Px_s = P @ x_new
+                Aty_s = A.T @ y_new
+                dua_s = jnp.max(jnp.abs(Px_s + q + Aty_s))
+                dua_s_sc = jnp.maximum(
+                    jnp.maximum(jnp.max(jnp.abs(Px_s)),
+                                jnp.max(jnp.abs(Aty_s))),
+                    jnp.max(jnp.abs(q)))
+                ratio = jnp.sqrt((pri_s / jnp.maximum(pri_s_sc, 1e-12))
+                                 / jnp.maximum(dua_s / jnp.maximum(dua_s_sc, 1e-12), 1e-18))
                 rho_new = jnp.clip(c.rho * ratio, RHO_MIN, RHO_MAX)
-                update = (rho_new > 5.0 * c.rho) | (rho_new < c.rho / 5.0)
+                update = ((rho_new > 5.0 * c.rho) | (rho_new < c.rho / 5.0)) \
+                    & ((it % rho_every) == 0)
                 rho_new = jnp.where(update, rho_new, c.rho)
                 chol_new = jax.lax.cond(update, lambda r: factor(r),
                                         lambda r: c.chol, rho_new)

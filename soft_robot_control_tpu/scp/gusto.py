@@ -98,7 +98,24 @@ class GuSTO:
         self.nonlinear_observer = bool(getattr(model, "nonlinear_observer", False))
 
         locp_backend = kwargs.pop("locp_backend", "dense")
-        if locp_backend == "stage":
+        if locp_backend == "condensed":
+            # states eliminated exactly (scp/locp_condensed.py): the QP
+            # shrinks to N*nu + 1 variables and the slacked trust region
+            # stays ADMM-friendly at large nx (the dense sparse LOCP's
+            # shared-slack epigraph stalls there; the reference hands those
+            # QPs to GUROBI, examples/hardware/diamond.py:316)
+            if Qzf is not None or Xf is not None:
+                raise NotImplementedError(
+                    "condensed backend supports the no-terminal LOCP")
+            from soft_robot_control_tpu.scp.locp_condensed import (
+                CondensedLOCPAdapter)
+
+            self.locp = CondensedLOCPAdapter(
+                N, np.asarray(model.H), Qz, R, U=U, X=X, dU=dU,
+                x_char=self.x_char,
+                nonlinear_observer=self.nonlinear_observer,
+                warm_start=warm_start, **kwargs)
+        elif locp_backend == "stage":
             # block-sparse long-horizon backend (scp/locp_stages.py); only
             # the linear-observer path is stage-structured
             if self.nonlinear_observer or Qzf is not None or Xf is not None:

@@ -225,3 +225,107 @@ class CondensedSpec:
         u_opt = u_opt[:self.N * self.n_u]
         return xfree + jnp.einsum("kim,m->ki", G, u_opt,
                                   precision=jax.lax.Precision.HIGHEST)
+
+
+class CondensedLOCPAdapter:
+    """LOCP-compatible wrapper (update/solve/get_solution, scp/locp.py:98-203
+    contract) over CondensedSpec for the host GuSTO loop
+    (locp_backend='condensed').
+
+    The sparse LOCP's slacked infinity-norm trust-region epigraph (one slack
+    shared by 2(N+1)nx rows) is ADMM-hostile at large nx — the reference
+    sidesteps the same issue by handing those QPs to GUROBI
+    (examples/hardware/diamond.py:316). Condensing eliminates the state
+    variables exactly, shrinking the QP to N*nu (+1 slack) variables where
+    the OSQP-semantics dense solver converges in a few hundred iterations.
+    """
+
+    def __init__(self, N, H, Qz, R, Qzf=None, U=None, X=None, Xf=None,
+                 dU=None, x_char=None, nonlinear_observer=False,
+                 verbose=False, warm_start=True, dtype=jnp.float64,
+                 **solver_kwargs):
+        if Qzf is not None or Xf is not None:
+            raise NotImplementedError(
+                "condensed backend supports the no-terminal-cost/set LOCP")
+        self.spec = CondensedSpec(int(N), np.asarray(H), np.asarray(Qz),
+                                  np.asarray(R), U=U, dU=dU, X=X,
+                                  nonlinear_observer=bool(nonlinear_observer),
+                                  trust_region=True, x_char=x_char,
+                                  dtype=dtype)
+        self.warm_start = bool(warm_start)
+        self.solve_time = 0.0
+        self._params = None
+        self._w_prev = None
+        self._y_prev = None
+        self._sol = None
+        spec = self.spec
+        from soft_robot_control_tpu.qp.admm import solve_qp_dense
+
+        if "eps_abs" not in solver_kwargs and spec.dtype == jnp.float32:
+            solver_kwargs["eps_abs"] = 1e-5
+            solver_kwargs["eps_rel"] = 1e-5
+
+        def _solve(params: CondensedParams, w0, y0):
+            P, q, A, l, u, const, xfree, G = spec.assemble(params)
+            sol = solve_qp_dense(P, q, A, l, u, x0=w0, y0=y0,
+                                 **solver_kwargs)
+            return sol, const, xfree, G
+
+        self._solve_jit = jax.jit(_solve)
+        self._solve_cold_jit = jax.jit(lambda p: _solve(p, None, None))
+
+    def update(self, Ad, Bd, dd, x0, xk, delta, omega, z=None, zf=None,
+               u=None, full=True, Hd=None, cd=None):
+        spec = self.spec
+        dt = spec.dtype
+        N, nx, nz, nu = spec.N, spec.n_x, spec.n_z, spec.n_u
+        self._params = CondensedParams(
+            Ad=jnp.asarray(np.asarray(Ad), dt).reshape(N, nx, nx),
+            Bd=jnp.asarray(np.asarray(Bd), dt).reshape(N, nx, nu),
+            dd=jnp.asarray(np.asarray(dd), dt).reshape(N, nx),
+            x0=jnp.asarray(x0, dt),
+            z=(jnp.zeros((N + 1, nz), dt) if z is None
+               else jnp.asarray(z, dt)),
+            u_des=(jnp.zeros((N, nu), dt) if u is None
+                   else jnp.asarray(u, dt)),
+            Hd=(jnp.asarray(np.asarray(Hd), dt) if Hd is not None
+                else jnp.zeros((N + 1, nz, nx), dt)),
+            cd=(jnp.asarray(np.asarray(cd), dt) if cd is not None
+                else jnp.zeros((N + 1, nz), dt)),
+            xk=jnp.asarray(xk, dt),
+            delta=jnp.asarray(delta, dt),
+            omega=jnp.asarray(omega, dt))
+
+    def solve(self):
+        import time
+
+        t0 = time.time()
+        if self.warm_start and self._w_prev is not None:
+            sol, const, xfree, G = self._solve_jit(self._params,
+                                                   self._w_prev,
+                                                   self._y_prev)
+        else:
+            sol, const, xfree, G = self._solve_cold_jit(self._params)
+        sol = jax.tree_util.tree_map(lambda a: a.block_until_ready(), sol)
+        self.solve_time = time.time() - t0
+        self._sol = (sol, xfree, G)
+        if self.warm_start:
+            self._w_prev = sol.x
+            self._y_prev = sol.y
+        if self.spec.dtype == jnp.float32:
+            acc_pri, acc_dua = 1e-3, 1e-2
+        else:
+            acc_pri, acc_dua = 1e-5, 1e-4
+        success = bool(sol.solved) or (
+            float(sol.pri_res) < acc_pri and float(sol.dua_res) < acc_dua)
+        J = float(sol.obj + const)
+        return (J, True, self) if success else (np.inf, False, None)
+
+    def get_solution(self):
+        sol, xfree, G = self._sol
+        w = np.asarray(sol.x)
+        N, nu = self.spec.N, self.spec.n_u
+        u = w[:N * nu].reshape(N, nu)
+        x = np.asarray(self.spec.recover_x(xfree, G, jnp.asarray(sol.x)))
+        s = w[N * nu:] if self.spec.trust_region else np.zeros(1)
+        return x, u, s

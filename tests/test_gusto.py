@@ -228,3 +228,32 @@ def test_gusto_qp_failure_returns_previous_iterate(capsys):
     x, u, z, _ = gusto.get_solution()
     np.testing.assert_allclose(x, x_init, atol=1e-12)
     np.testing.assert_allclose(u, u_init, atol=1e-12)
+
+
+def test_gusto_condensed_backend_matches_dense():
+    """locp_backend='condensed' reproduces the dense LOCP GuSTO solution on
+    the Dubins car (same SCP path, states eliminated exactly)."""
+    from soft_robot_control_tpu.models.dubins import DubinsCar
+    from soft_robot_control_tpu.core.constraints import HyperRectangle
+    from soft_robot_control_tpu.scp.gusto import GuSTO
+
+    model = DubinsCar()
+    N, dt = 12, 0.1
+    Qz = np.eye(model.n_z)
+    R = 0.1 * np.eye(model.n_u)
+    x0 = np.zeros(model.n_x)
+    z = np.tile(np.array([1.0, 1.0, 0.0]), (N + 1, 1))[:, :model.n_z]
+    U = HyperRectangle(2.0 * np.ones(model.n_u), -2.0 * np.ones(model.n_u))
+    u_init = np.zeros((N, model.n_u))
+    x_init = np.asarray(model.rollout(x0, u_init, dt))
+    outs = {}
+    for backend in ("dense", "condensed"):
+        g = GuSTO(model, N, dt, Qz, R, x0, u_init, x_init, z=z, U=U,
+                  verbose=0, max_gusto_iters=6, convg_thresh=1e-3,
+                  locp_backend=backend)
+        xopt, uopt, zopt, _ = g.get_solution()
+        outs[backend] = (np.asarray(xopt), np.asarray(uopt))
+    np.testing.assert_allclose(outs["condensed"][1], outs["dense"][1],
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(outs["condensed"][0], outs["dense"][0],
+                               rtol=1e-3, atol=1e-4)
