@@ -96,9 +96,11 @@ def main():
         lv[i] = amp
         levels.append(lv)
     levels += [np.array([amp, amp, 0, 0, 0, 0, 0, 0.]) / 1.5,
-               np.array([0, amp, amp, 0, 0, 0, 0, 0.]) / 1.5]
+               np.array([0, amp, amp, 0, 0, 0, 0, 0.]) / 1.5,
+               np.array([0, 0, amp, amp, 0, 0, 0, 0.]) / 1.5,
+               np.array([amp, 0, 0, amp, 0, 0, 0, 0.]) / 1.5]
     if args.quick:
-        levels = levels[:3]
+        levels = levels[:4]
 
     # actuated runs for the B fit: smooth multi-sine inputs. Length matches
     # the decay sims exactly so the whole campaign compiles ONE scan shape.
@@ -107,9 +109,12 @@ def main():
     decay_t = 2.5 if args.quick else 4.0
     T_act = int(round((hold_t + decay_t) / dt))
     tt = dt * np.arange(T_act)
+    # batch sizes match the decay batch so the whole campaign reuses ONE
+    # compiled batched-sim program (each distinct batch shape costs minutes
+    # of single-core XLA compile at this mesh scale)
     rng = np.random.default_rng(0)
     acts = []
-    for k in range(2 if args.quick else 4):
+    for k in range(len(levels)):
         ph = rng.uniform(0, 2 * np.pi, 8)
         fr = rng.uniform(0.3, 1.0, 8)
         u = 0.5 * amp * (1 + np.sin(2 * np.pi * fr[None, :] * tt[:, None]
@@ -129,25 +134,33 @@ def main():
     # held-out actuated validation
     from soft_robot_control_tpu.tasks.sysid_export import (
         collect_actuated_trajectories)
-    ph = rng.uniform(0, 2 * np.pi, 8)
-    u_test = 0.4 * amp * (1 + np.sin(2 * np.pi * 0.5 * tt[:, None]
-                                     + ph[None, :]))
-    u_test[:, 4:] = 0.0
-    (z_true, _), = collect_actuated_trajectories(plant, Hf, [u_test], dt=dt)
-    x0 = model.observed_to_reduced(jnp.asarray(z_true[0]
-                                               - np.asarray(model.z_ref)))
-    xs = [np.asarray(x0)]
-    for i in range(len(u_test) - 1):
-        xs.append(np.asarray(model.update_state(
-            jnp.asarray(xs[-1]), jnp.asarray(u_test[i], jnp.float64), dt)))
-    z_pred = np.asarray(jax.vmap(model.reduced_to_observed)(
-        jnp.asarray(np.stack(xs)))) + np.asarray(model.z_ref)
-    err = np.linalg.norm(z_pred[:, :3] - z_true[:, :3], axis=1)
-    motion = np.linalg.norm(z_true[:, :3] - z_true[0, :3], axis=1)
-    rel = float(np.sqrt(np.mean(err**2)) / max(motion.max(), 1e-9))
+    u_tests = []
+    for k in range(len(levels)):   # same batch size -> same compiled program
+        ph = rng.uniform(0, 2 * np.pi, 8)
+        u_t = 0.4 * amp * (1 + np.sin(2 * np.pi * 0.5 * tt[:, None]
+                                      + ph[None, :]))
+        u_t[:, 4:] = 0.0
+        u_tests.append(u_t)
+    tests = collect_actuated_trajectories(plant, Hf, u_tests, dt=dt)
+    rels = []
+    for z_true, u_test in tests:
+        x0 = model.observed_to_reduced(jnp.asarray(
+            z_true[0] - np.asarray(model.z_ref)))
+        xs = [np.asarray(x0)]
+        for i in range(len(u_test) - 1):
+            xs.append(np.asarray(model.update_state(
+                jnp.asarray(xs[-1]), jnp.asarray(u_test[i], jnp.float64),
+                dt)))
+        z_pred = np.asarray(jax.vmap(model.reduced_to_observed)(
+            jnp.asarray(np.stack(xs)))) + np.asarray(model.z_ref)
+        err = np.linalg.norm(z_pred[:, :3] - z_true[:, :3], axis=1)
+        motion = np.linalg.norm(z_true[:, :3] - z_true[0, :3], axis=1)
+        rels.append(float(np.sqrt(np.mean(err**2))
+                          / max(motion.max(), 1e-9)))
+    rel = float(np.mean(rels))
     print(f"[{time.time()-t0:6.1f}s] held-out actuated tip prediction "
-          f"rel RMS {rel:.3f} (motion max {motion.max():.1f} mm)",
-          flush=True)
+          f"rel RMS mean {rel:.3f} over {len(rels)} runs "
+          f"({['%.3f' % r for r in rels]})", flush=True)
 
     if args.skip_mpc:
         return

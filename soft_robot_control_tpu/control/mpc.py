@@ -43,9 +43,17 @@ class scp(TemplateController):
         self.mpc = kwargs.pop("mpc", False)
         self.GuSTO = solver_service  # set via set_service() if None
 
-        # per-TPWL-point DARE feedback gains (tpwl/controllers.py:239-246)
-        dareb = jax.vmap(lambda A, B, d: self.dyn_sys.discretize_dynamics(A, B, d, dt)[:2])
-        A_d, B_d = dareb(dyn_sys.A_c, dyn_sys.B_c, dyn_sys.d_c)
+        # per-TPWL-point DARE feedback gains (tpwl/controllers.py:239-246).
+        # A discrete-native dictionary at this dt (TetFEM campaigns) supplies
+        # exact A_d/B_d; re-discretizing the continuous family there would
+        # reintroduce the Galerkin resolvent error and corrupt the gains.
+        if (getattr(dyn_sys, "A_d", None) is not None
+                and getattr(dyn_sys, "pre_discretized_dt", None) is not None
+                and abs(dyn_sys.pre_discretized_dt - dt) < 1e-12):
+            A_d, B_d = dyn_sys.A_d, dyn_sys.B_d
+        else:
+            dareb = jax.vmap(lambda A, B, d: self.dyn_sys.discretize_dynamics(A, B, d, dt)[:2])
+            A_d, B_d = dareb(dyn_sys.A_c, dyn_sys.B_c, dyn_sys.d_c)
         Q = jnp.asarray(cost.Q, A_d.dtype)
         R = jnp.asarray(cost.R, A_d.dtype)
         K, _ = jax.vmap(lambda a, b: dare(a, b, Q, R))(A_d, B_d)

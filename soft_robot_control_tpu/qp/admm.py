@@ -42,6 +42,8 @@ class QPSolution(NamedTuple):
     dua_res: jnp.ndarray  # ||Px + q + A'y||_inf
     iters: jnp.ndarray    # ADMM iterations executed
     solved: jnp.ndarray   # bool: residuals under tolerance
+    pri_sc: jnp.ndarray = jnp.asarray(1.0)  # primal residual scale (inf-norms)
+    dua_sc: jnp.ndarray = jnp.asarray(1.0)  # dual residual scale
 
 
 def _ruiz_equilibrate(P, q, A, iters: int = 10):
@@ -291,7 +293,8 @@ def solve_qp_dense(P, q, A, l, u,
     pri, pri_sc, dua, dua_sc = _final_residuals(P0, q0, A0, x_u, y_u, z_u)
     solved = (pri <= eps_abs + eps_rel * pri_sc) & (dua <= eps_abs + eps_rel * dua_sc)
     obj = 0.5 * x_u @ (P0 @ x_u) + q0 @ x_u
-    return QPSolution(x_u, y_u, z_u, obj, pri, dua, cf.it, solved)
+    return QPSolution(x_u, y_u, z_u, obj, pri, dua, cf.it, solved,
+                      pri_sc, dua_sc)
 
 
 def _final_residuals(P0, q0, A0, x, y, z):

@@ -404,8 +404,12 @@ class LOCP:
             acc_pri, acc_dua = 1e-3, 1e-2
         else:
             acc_pri, acc_dua = 1e-5, 1e-4
-        success = bool(sol.solved) or (
-            float(sol.pri_res) < acc_pri and float(sol.dua_res) < acc_dua)
+        # acceptance is RELATIVE to the problem's residual scales (a 5e-3
+        # absolute primal residual on u-bounds of 1500 is 3e-6 relative)
+        pri_rel = float(sol.pri_res) / max(1.0, float(sol.pri_sc))
+        dua_rel = float(sol.dua_res) / max(1.0, float(sol.dua_sc))
+        success = bool(sol.solved) or (pri_rel < acc_pri and
+                                       dua_rel < acc_dua)
         return (Jstar, True, self) if success else (np.inf, False, None)
 
     def get_solution(self):

@@ -243,15 +243,19 @@ class CondensedLOCPAdapter:
     def __init__(self, N, H, Qz, R, Qzf=None, U=None, X=None, Xf=None,
                  dU=None, x_char=None, nonlinear_observer=False,
                  verbose=False, warm_start=True, dtype=jnp.float64,
-                 **solver_kwargs):
+                 is_tr_active=True, **solver_kwargs):
         if Qzf is not None or Xf is not None:
             raise NotImplementedError(
                 "condensed backend supports the no-terminal-cost/set LOCP")
+        # is_tr_active=False drops the slacked trust region entirely — the
+        # right mode for max_gusto_iters=0 real-time MPC (one LOCP per
+        # query; diamond_SSM.py:361): the slack's dual converges slowly
+        # under ADMM and is pure overhead when delta never binds.
         self.spec = CondensedSpec(int(N), np.asarray(H), np.asarray(Qz),
                                   np.asarray(R), U=U, dU=dU, X=X,
                                   nonlinear_observer=bool(nonlinear_observer),
-                                  trust_region=True, x_char=x_char,
-                                  dtype=dtype)
+                                  trust_region=bool(is_tr_active),
+                                  x_char=x_char, dtype=dtype)
         self.warm_start = bool(warm_start)
         self.solve_time = 0.0
         self._params = None
@@ -264,6 +268,7 @@ class CondensedLOCPAdapter:
         if "eps_abs" not in solver_kwargs and spec.dtype == jnp.float32:
             solver_kwargs["eps_abs"] = 1e-5
             solver_kwargs["eps_rel"] = 1e-5
+        self.solver_kwargs = dict(solver_kwargs)
 
         def _solve(params: CondensedParams, w0, y0):
             P, q, A, l, u, const, xfree, G = spec.assemble(params)
@@ -316,8 +321,12 @@ class CondensedLOCPAdapter:
             acc_pri, acc_dua = 1e-3, 1e-2
         else:
             acc_pri, acc_dua = 1e-5, 1e-4
-        success = bool(sol.solved) or (
-            float(sol.pri_res) < acc_pri and float(sol.dua_res) < acc_dua)
+        # acceptance is RELATIVE to the problem's residual scales (a 5e-3
+        # absolute primal residual on u-bounds of 1500 is 3e-6 relative)
+        pri_rel = float(sol.pri_res) / max(1.0, float(sol.pri_sc))
+        dua_rel = float(sol.dua_res) / max(1.0, float(sol.dua_sc))
+        success = bool(sol.solved) or (pri_rel < acc_pri and
+                                       dua_rel < acc_dua)
         J = float(sol.obj + const)
         return (J, True, self) if success else (np.inf, False, None)
 

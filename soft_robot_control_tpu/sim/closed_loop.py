@@ -26,9 +26,16 @@ from soft_robot_control_tpu.sim.fem_surrogate import FEMSurrogate
 
 def run_closed_loop(plant: FEMSurrogate, controller, sim_duration, dt,
                     x0=None, measurement_model=None, output_model=None,
-                    key: Optional[jax.Array] = None, save_full_state=False):
+                    key: Optional[jax.Array] = None, save_full_state=False,
+                    u_limits=None):
     """Run the closed loop and return the sim_data dict
-    (closed_loop_controller.py:50-58,118-137 layout)."""
+    (closed_loop_controller.py:50-58,118-137 layout).
+
+    u_limits=(u_min, u_max) clamps the applied command to the actuation
+    limits — the reference bridge clamps actuator values at min_force
+    (closed_loop_controller.py:104-117; cables are pull-only and bounded),
+    which in particular bounds the LQR feedback term u_bar + K (x_hat -
+    x_bar) that the plan-level QP constraints cannot see."""
     if x0 is None:
         x0 = plant.x_rest()
     x = jnp.asarray(x0)
@@ -52,6 +59,8 @@ def run_closed_loop(plant: FEMSurrogate, controller, sim_duration, dt,
         else:
             y = x
         u = controller.evaluate(t, np.asarray(y), np.asarray(x), u_prev)
+        if u_limits is not None:
+            u = np.clip(np.asarray(u), u_limits[0], u_limits[1])
         x = step_fn(x, jnp.asarray(u, x.dtype))
         u_prev = np.asarray(u)
 

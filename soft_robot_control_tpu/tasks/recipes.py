@@ -353,9 +353,12 @@ def _run_and_save(robot, controller, sim_duration, save_dir, save_prefix):
         def evaluate(self, x, key=None):
             return self.M @ x
 
+    m = robot.plant.input_dim
     sim = run_closed_loop(robot.plant, controller, sim_duration=sim_duration,
                           dt=robot.dt, measurement_model=_Lin(Cf),
-                          output_model=_Lin(Hf))
+                          output_model=_Lin(Hf),
+                          u_limits=(robot.u_min * np.ones(m),
+                                    robot.u_max * np.ones(m)))
     if save_dir is not None:
         save_data(os.path.join(save_dir, f"{save_prefix}_sim.pkl"), sim)
     return sim
