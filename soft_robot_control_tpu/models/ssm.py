@@ -234,6 +234,10 @@ def from_mat(data, eq_point, discrete=False, discr_method="fe") -> SSMModel:
     def m(name):
         return model[name][0, 0]
 
+    if eq_point is None and "z_ref" in getattr(model.dtype, "names", ()):
+        # natively-trained artifacts carry their equilibrium (the reference
+        # supplies it separately from rest_qv.pkl)
+        eq_point = model["z_ref"][0, 0]
     return SSMModel(
         w_coeff=m("w_coeff"), v_coeff=m("v_coeff"), r_coeff=m("r_coeff"),
         B_r=m("B"), rd_coeff=m("rd_coeff"), Bd_r=m("Bd"),

@@ -272,6 +272,10 @@ def to_mat_dict(model: SSMModel) -> dict:
             "rd_coeff": np.asarray(model.rd_coeff),
             "Bd": np.asarray(model.Bd_r),
             "Ts": model.Ts,
+            # extension over the reference layout: carry the equilibrium so
+            # the artifact is standalone (the reference supplies it
+            # separately from rest_qv.pkl)
+            "z_ref": np.asarray(model.z_ref),
         },
         "params": {
             "state_dim": model.state_dim,

@@ -180,3 +180,29 @@ def make_chain_robot(n_nodes: int = 12, n_cables: int = 4, k: float = 40.0,
     return FEMSurrogate(K.astype(dtype), dtype(m_node), dtype(alpha),
                         dtype(beta), dtype(gamma), q_rest.astype(dtype),
                         H.astype(dtype))
+
+
+def simulate_chunked(plant, x0, u_seq, dt, chunk: int = 500):
+    """`simulate` in fixed-size chunks: one compiled scan of `chunk` steps
+    re-invoked across the horizon. Long single-program scans (T ~ 4000) at
+    reference mesh scale reproducibly crash the TPU runtime ("kernel
+    fault"), and chunking also caches one executable for any horizon.
+    Returns (T+1, 2n) like `simulate`."""
+    import numpy as np
+
+    u = jnp.asarray(u_seq)
+    T = u.shape[0]
+    outs = [jnp.asarray(x0)[None]]
+    x = jnp.asarray(x0)
+    for s in range(0, T, chunk):
+        seg = u[s:s + chunk]
+        if seg.shape[0] < chunk:  # pad to the compiled shape, trim after
+            pad = chunk - seg.shape[0]
+            seg_p = jnp.concatenate(
+                [seg, jnp.zeros((pad, seg.shape[1]), seg.dtype)], axis=0)
+            X = simulate(plant, x, seg_p, dt)[1:seg.shape[0] + 1]
+        else:
+            X = simulate(plant, x, seg, dt)[1:]
+        outs.append(X)
+        x = X[-1]
+    return jnp.concatenate(outs, axis=0)

@@ -23,7 +23,7 @@ from soft_robot_control_tpu.models.interfaces import TPWLGuSTO
 from soft_robot_control_tpu.models.tpwl import TPWLModel, from_tpwl_dict
 from soft_robot_control_tpu.rom import pod
 from soft_robot_control_tpu.sim.closed_loop import run_closed_loop
-from soft_robot_control_tpu.sim.fem_surrogate import simulate
+from soft_robot_control_tpu.sim.fem_surrogate import simulate, simulate_chunked
 from soft_robot_control_tpu.utils.io import save_data
 
 
@@ -48,8 +48,8 @@ def collect_pod_data(robot, save_dir: str, nbr_samples: int = 40,
         s.umax = umax_save  # don't leak the scaled amplitude to later recipes
     u = np.asarray(u_seq).T
     dt = robot.dt
-    X = np.asarray(simulate(robot.plant, robot.plant.x_rest(),
-                            jnp.asarray(u), dt))
+    X = np.asarray(simulate_chunked(robot.plant, robot.plant.x_rest(),
+                                    jnp.asarray(u), dt))
     n = robot.plant.n_nodes_dof
     snap = {
         "t": t_seq, "q": list(X[:-1, n:]), "v": list(X[:-1, :n]),
@@ -97,8 +97,8 @@ def collect_tpwl_data(robot, save_dir: str, threshold: float = 0.5,
         s.umax = umax_save
     u = np.asarray(u_seq).T
     dt = robot.dt
-    X = np.asarray(simulate(robot.plant, robot.plant.x_rest(),
-                            jnp.asarray(u), dt))
+    X = np.asarray(simulate_chunked(robot.plant, robot.plant.x_rest(),
+                                    jnp.asarray(u), dt))
     cfg = tpwl_build.tpwl_config(TPWL_threshold=threshold,
                                  TPWL_weighting_factors={"q": 10.0, "v": 1.0})
     Hf = robot.get_output_model()
@@ -141,8 +141,8 @@ def tpwl_rollout_check(robot, save_dir: str, nbr_samples: int = 10,
     finally:
         s.umax = umax_save
     u = np.asarray(u_seq).T
-    X = np.asarray(simulate(robot.plant, robot.plant.x_rest(),
-                            jnp.asarray(u), robot.dt))
+    X = np.asarray(simulate_chunked(robot.plant, robot.plant.x_rest(),
+                                    jnp.asarray(u), robot.dt))
     Hf = robot.get_output_model()
     z_true = X @ Hf.T
     x0 = model.rom.project_x(jnp.asarray(X[0]))
