@@ -84,19 +84,21 @@ def main():
     # Diamond (examples/hardware/model.py u_max=1500) so every QP carries
     # the production constraint rows
     model, dt, model_src = load_bench_model(dtype)
+    nz = int(np.asarray(model.H).shape[0])
+    m_in = int(model.input_dim)
     N, N_replan = 5, 2
-    U = HyperRectangle(1500.0 * np.ones(4), np.zeros(4))
+    U = HyperRectangle(1500.0 * np.ones(m_in), np.zeros(m_in))
 
     # Pallas ADMM kernel for the single-loop latency metric; plain XLA for
     # the 1024-way vmapped section (vmap-of-pallas compiles poorly today)
-    mpc = BatchMPC(model, 100.0 * np.eye(6), 1e-3 * np.eye(4), N=N, dt=dt,
+    mpc = BatchMPC(model, 100.0 * np.eye(nz), 1e-3 * np.eye(m_in), N=N, dt=dt,
                    N_replan=N_replan, qp_iters=50, scp_iters=1, dtype=dtype,
                    use_pallas=True, U=U,
                    W=1e-2 * np.eye(model.state_dim),
                    V=1e-4 * np.eye(model.C.shape[0]))
     # batched path: precomputed-K^-1 iterations (batched triangular solves
     # would otherwise dominate at 1024-way)
-    mpc_xla = BatchMPC(model, 100.0 * np.eye(6), 1e-3 * np.eye(4), N=N, dt=dt,
+    mpc_xla = BatchMPC(model, 100.0 * np.eye(nz), 1e-3 * np.eye(m_in), N=N, dt=dt,
                        N_replan=N_replan, qp_iters=50, scp_iters=1,
                        dtype=dtype, x_step="kinv", U=U,
                        W=1e-2 * np.eye(model.state_dim),
@@ -151,7 +153,7 @@ def main():
     # scp/locp_condensed.py — (N*nu)^2 KKT) through the fused launch; also
     # ~10x lower tracking error at equal ADMM iterations since no dynamics
     # -equality residual survives
-    mpc_cond = BatchMPC(model, 100.0 * np.eye(6), 1e-3 * np.eye(4), N=N,
+    mpc_cond = BatchMPC(model, 100.0 * np.eye(nz), 1e-3 * np.eye(m_in), N=N,
                         dt=dt, N_replan=N_replan, qp_iters=50, scp_iters=1,
                         dtype=dtype, x_step="kinv", formulation="condensed",
                         U=U,
@@ -219,16 +221,16 @@ def main():
 
     g_model = TPWLGuSTO(model_d)
     # headline: condensed formulation (TR as affine rows + one slack)
-    gj_c = GuSTOJit(g_model, N=5, dt=dt, Qz=100.0 * np.eye(6),
-                    R=1e-3 * np.eye(4), U=U, max_iters=5, qp_iters=50,
+    gj_c = GuSTOJit(g_model, N=5, dt=dt, Qz=100.0 * np.eye(nz),
+                    R=1e-3 * np.eye(m_in), U=U, max_iters=5, qp_iters=50,
                     x_step="kinv", formulation="condensed", dtype=dtype)
-    gj = GuSTOJit(g_model, N=5, dt=dt, Qz=100.0 * np.eye(6),
-                  R=1e-3 * np.eye(4), U=U, max_iters=5, qp_iters=50,
+    gj = GuSTOJit(g_model, N=5, dt=dt, Qz=100.0 * np.eye(nz),
+                  R=1e-3 * np.eye(m_in), U=U, max_iters=5, qp_iters=50,
                   x_step="kinv", dtype=dtype)
     Bg = 64
     rng2 = np.random.default_rng(2)
     x0g = jnp.asarray(0.05 * rng2.normal(size=(Bg, model.state_dim)), dtype)
-    u0g = jnp.zeros((Bg, 5, 4), dtype)
+    u0g = jnp.zeros((Bg, 5, m_in), dtype)
     xig = jnp.repeat(x0g[:, None, :], 6, axis=1)
     zg = jnp.asarray(np.repeat(
         np.asarray(model_d.z_ref)[None, None, :], 6, axis=1).repeat(Bg, 0), dtype)
@@ -264,10 +266,10 @@ def main():
     z_s = jnp.asarray(0.05 * rng3.normal(size=(N200 + 1, model.H.shape[0])),
                       dtype)
     x0_s = jnp.zeros(nx200, dtype)
-    st_cr = StageLOCP(N200, np.asarray(model.H), 100.0 * np.eye(6),
+    st_cr = StageLOCP(N200, np.asarray(model.H), 100.0 * np.eye(nz),
                       1e-3 * np.eye(nu200), U=U, kkt_solver="cr",
                       dtype=dtype)
-    st_scan = StageLOCP(N200, np.asarray(model.H), 100.0 * np.eye(6),
+    st_scan = StageLOCP(N200, np.asarray(model.H), 100.0 * np.eye(nz),
                         1e-3 * np.eye(nu200), U=U, kkt_solver="scan",
                         dtype=dtype)
     f_cr = jax.jit(lambda: st_cr.solve(Ad_s, Bd_s, dd_s, x0_s, z_s,

@@ -247,9 +247,15 @@ class BatchMPC:
     def _mpc_query(self, x0, x_plan_prev, u_plan_prev, z_win, warm):
         """One MPC query: scp_iters LOCP solves linearized along the current
         plan (scp_iters=1 == the reference's max_gusto_iters=0 real-time
-        mode). Returns (x_plan, u_plan, warm)."""
+        mode). Returns (x_plan, u_plan, warm).
+
+        z_win targets are ABSOLUTE outputs (matching the logged z and the
+        reference's zfyf convention); the QP costs shifted z = H x_r, so
+        shift here."""
         m = self.model
         spec = self.spec
+        if m.z_ref is not None:
+            z_win = z_win - jnp.asarray(m.z_ref, z_win.dtype)
 
         if self.formulation == "condensed":
             cspec = self.cspec
@@ -343,6 +349,8 @@ class BatchMPC:
         m = self.model
         spec = self.spec
         B = x0.shape[0]
+        if m.z_ref is not None:  # absolute targets in, shifted QP inside
+            z_win = z_win - jnp.asarray(m.z_ref, z_win.dtype)
 
         if self.formulation == "condensed":
             cspec = self.cspec
