@@ -139,6 +139,7 @@ def main():
                           sim_duration=args.sim_duration, delay=1.0, U=U,
                           save_prefix="scp_fig8",
                           max_gusto_iters=0, is_tr_active=False,
+                          locp_backend="condensed",
                           dtype=jnp.float64 if dtype == "float64"
                           else jnp.float32)
     z = np.asarray(sim["z"])

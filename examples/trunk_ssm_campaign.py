@@ -111,15 +111,24 @@ def main():
     tt = dt * np.arange(T_act)
     # batch sizes match the decay batch so the whole campaign reuses ONE
     # compiled batched-sim program (each distinct batch shape costs minutes
-    # of single-core XLA compile at this mesh scale)
+    # of single-core XLA compile at this mesh scale).
+    # Excitation design: per-cable INDIVIDUAL runs first (the reference's
+    # individual_actuation concept, open_loop_sequences.py) — driving all
+    # cables with correlated always-positive sines leaves the input-matrix
+    # regression unable to separate per-cable directions (a model trained
+    # that way believed all four cables bend the trunk the same way).
     rng = np.random.default_rng(0)
     acts = []
     for k in range(len(levels)):
-        ph = rng.uniform(0, 2 * np.pi, 8)
-        fr = rng.uniform(0.3, 1.0, 8)
-        u = 0.5 * amp * (1 + np.sin(2 * np.pi * fr[None, :] * tt[:, None]
-                                    + ph[None, :]))
-        u[:, 4:] = 0.0  # long cables only
+        u = np.zeros((T_act, 8))
+        if k < 4:      # single long cable
+            fr = 0.4 + 0.2 * k
+            u[:, k] = 0.5 * amp * (1 + np.sin(2 * np.pi * fr * tt))
+        else:          # mixed pair
+            i, j = (k - 4) % 4, (k - 3) % 4
+            u[:, i] = 0.4 * amp * (1 + np.sin(2 * np.pi * 0.5 * tt))
+            u[:, j] = 0.4 * amp * (1 + np.sin(2 * np.pi * 0.7 * tt
+                                              + rng.uniform(0, 2 * np.pi)))
         acts.append(u)
 
     model = train_ssm_native(

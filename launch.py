@@ -27,9 +27,18 @@ import numpy as np
 
 def get_robot(name: str, dt: float):
     from soft_robot_control_tpu.robots import DiamondRobot, FingerRobot, TrunkRobot
+    from soft_robot_control_tpu.robots.robots import (DiamondTetRobot,
+                                                      TrunkTetRobot)
 
     cls = {"diamond": DiamondRobot, "trunk": TrunkRobot,
-           "finger": FingerRobot}[name]
+           "finger": FingerRobot,
+           # full-scale reference-mesh tet-FEM robots (sim/fem_tet.py);
+           # their plant step size is baked into the cached factor, so dt
+           # is fixed at the reference 0.01
+           "diamond_tet": DiamondTetRobot, "trunk_tet": TrunkTetRobot}[name]
+    if name.endswith("_tet"):
+        robot = cls()
+        return robot
     robot = cls()
     robot.dt = dt
     robot.sequences.dt = dt
@@ -49,7 +58,8 @@ def default_target(robot, dt):
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("robot", choices=["diamond", "trunk", "finger"])
+    p.add_argument("robot", choices=["diamond", "trunk", "finger",
+                                     "diamond_tet", "trunk_tet"])
     p.add_argument("recipe", choices=[
         "collect_pod_data", "compute_pod_basis", "collect_tpwl_data",
         "tpwl_check", "run_scp", "run_ilqr", "run_scp_ol", "run_rompc",

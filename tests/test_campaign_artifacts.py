@@ -1,0 +1,76 @@
+"""Committed full-scale campaign artifacts (examples/diamond_tet/) stay
+loadable and usable: the physics-campaign TPWL ROM built from the
+1628-node tet-FEM Diamond is what bench.py benchmarks, so breaking its
+layout silently would corrupt the headline numbers."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+ART_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "examples", "diamond_tet")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(ART_DIR, "tpwl_model_snapshots.pkl")),
+    reason="campaign artifacts not present")
+
+
+def test_campaign_pod_layout():
+    from soft_robot_control_tpu.rom.pod import load_POD
+
+    rom = load_POD(os.path.join(ART_DIR, "pod_model.pkl"))
+    assert rom.full_dim == 4884          # 1628 nodes x 3 (environments.py:144)
+    assert rom.rom_dim >= 20
+    # orthonormal basis
+    U = np.asarray(rom.U)
+    np.testing.assert_allclose(U.T @ U, np.eye(rom.rom_dim), atol=1e-4)
+
+
+def test_campaign_tpwl_dict_discrete_native():
+    from soft_robot_control_tpu.models.tpwl import from_tpwl_dict
+    from soft_robot_control_tpu.sim.measurement import linearModel
+
+    Hf = linearModel([1354], 1628, vel=False).C_dense()
+    model = from_tpwl_dict(
+        os.path.join(ART_DIR, "tpwl_model_snapshots.pkl"),
+        params={"dist_weights": {"q": 10.0, "v": 1.0}}, Hf=Hf,
+        discr_method="be")
+    assert model.num_points >= 200       # reference dictionary band
+    assert model.A_d is not None and model.pre_discretized_dt == 0.01
+    # discrete-native: pre_discretize at the stored dt is the identity
+    assert model.pre_discretize(0.01) is model
+    # one-window batched MPC runs finite on the artifact
+    from soft_robot_control_tpu.control.batch_mpc import BatchMPC
+    from soft_robot_control_tpu.core.constraints import HyperRectangle
+    from soft_robot_control_tpu.tasks.demo import demo_targets
+
+    Cf = linearModel([1354, 726, 139, 1445, 729], 1628).C_dense()
+    model = model.set_measurement_model(Cf)
+    nz = np.asarray(model.H).shape[0]
+    mpc = BatchMPC(model, 100.0 * np.eye(nz), 1e-3 * np.eye(4), N=4,
+                   dt=0.01, N_replan=2, qp_iters=30, scp_iters=1,
+                   dtype=jnp.float64, x_step="kinv",
+                   formulation="condensed",
+                   U=HyperRectangle(1500.0 * np.ones(4), np.zeros(4)),
+                   W=1e-2 * np.eye(model.state_dim),
+                   V=1e-4 * np.eye(np.asarray(model.C).shape[0]))
+    run = mpc.build(1)
+    zt = demo_targets(model, 1, 2, 4, 0.01, batch=1)[0]
+    x0 = jnp.zeros(model.state_dim)
+    logs = jax.jit(run)(x0, x0, jnp.asarray(zt), jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(logs["z"])).all()
+
+
+def test_campaign_rest_matches_pod_ref():
+    import pickle
+
+    with open(os.path.join(ART_DIR, "rest.pkl"), "rb") as f:
+        rest = pickle.load(f)
+    from soft_robot_control_tpu.rom.pod import load_POD
+
+    rom = load_POD(os.path.join(ART_DIR, "pod_model.pkl"))
+    np.testing.assert_allclose(np.asarray(rest["rest"]),
+                               np.asarray(rom.q_ref), atol=1e-5)
