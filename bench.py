@@ -135,9 +135,17 @@ def main():
     rng = np.random.default_rng(0)
     x0s = jnp.asarray(0.1 * rng.normal(size=(B, model.state_dim)), dtype)
     us = jnp.asarray(np.abs(rng.normal(size=(B, T, model.input_dim))), dtype)
-    roll = jax.jit(lambda a, b: rollout_batch(model_d, a, b, dt))
+    roll = jax.jit(lambda a, b: rollout_batch(model_d, a, b, dt,
+                                              select="exact"))
     t_roll = timeit(roll, x0s, us, warmup=2, iters=10)
     rollouts_per_sec = B / t_roll
+    # batch-fused matmul-distance path (models/tpwl.py): at P ~ 1e3 the
+    # per-sample (P, r) distance broadcast dominates; two (B,r)x(r,P)
+    # matmuls per step instead
+    roll_f = jax.jit(lambda a, b: rollout_batch(model_d, a, b, dt,
+                                                select="matmul"))
+    t_roll_f = timeit(roll_f, x0s, us, warmup=2, iters=10)
+    rollouts_per_sec_fused = B / t_roll_f
 
     # ---- 3. batched closed-loop MPC+EKF throughput (1024 loops, 4 windows).
     # Fast path: batch-fused window scan — all 1024 QPs per window solve in
@@ -348,7 +356,8 @@ def main():
         "vs_baseline": round(2.0 / mpc_ms, 3),
         "extra": {
             "mpc_step_ms_single_call_pipelined": round(mpc_single_ms, 4),
-            "tpwl_rollouts_per_sec_1024way": round(rollouts_per_sec, 1),
+            "tpwl_rollouts_per_sec_1024way": round(rollouts_per_sec_fused, 1),
+            "tpwl_rollouts_per_sec_1024way_exact_select": round(rollouts_per_sec, 1),
             "batched_mpc_windows_per_sec_1024way": round(batch_mpc_steps_per_sec, 1),
             "batched_mpc_windows_per_sec_1024way_sparse": round(batch_mpc_steps_per_sec_sparse, 1),
             "batched_mpc_windows_per_sec_1024way_xla": round(batch_mpc_steps_per_sec_xla, 1),

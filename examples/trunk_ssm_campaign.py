@@ -50,6 +50,8 @@ def main():
                     help="cable hold amplitude for decays (mN)")
     ap.add_argument("--sim-duration", type=float, default=6.0)
     ap.add_argument("--skip-mpc", action="store_true")
+    ap.add_argument("--fresh-data", action="store_true",
+                    help="re-run the plant sims even if sysid_data.pkl exists")
     args = ap.parse_args()
 
     import jax
@@ -131,12 +133,36 @@ def main():
                                               + rng.uniform(0, 2 * np.pi)))
         acts.append(u)
 
-    model = train_ssm_native(
-        plant, Hf, levels, state_dim=6, SSM_order=3, ROM_order=3,
-        n_delay=0, hold_time=hold_t, decay_time=decay_t, dt=dt,
-        settle_skip=5,
-        actuated_inputs=acts, ridge=[1e-8, 1e-6, 1e-4, 1e-2],
-        save_path=os.path.join(args.out, "trunk_SSM_model.mat"))
+    # sysid data cache: the plant sims dominate campaign time on the
+    # single-core CPU; model-fitting iterations reuse them
+    import pickle
+    cache_f = os.path.join(args.out, "sysid_data.pkl")
+    if os.path.exists(cache_f) and not args.fresh_data:
+        with open(cache_f, "rb") as f:
+            blob = pickle.load(f)
+        decays, acts_data = blob["decays"], blob["acts"]
+        print(f"[{time.time()-t0:6.1f}s] sysid data loaded from cache",
+              flush=True)
+    else:
+        from soft_robot_control_tpu.tasks.sysid_export import (
+            collect_actuated_trajectories, collect_decay_trajectories)
+        decays = collect_decay_trajectories(plant, Hf, levels,
+                                            hold_time=hold_t,
+                                            decay_time=decay_t, dt=dt)
+        acts_data = collect_actuated_trajectories(plant, Hf, acts, dt=dt)
+        with open(cache_f, "wb") as f:
+            pickle.dump({"decays": decays, "acts": acts_data}, f)
+        print(f"[{time.time()-t0:6.1f}s] sysid data collected + cached",
+              flush=True)
+
+    from soft_robot_control_tpu.models.ssm_learn import learn_ssm
+    z_eq = np.asarray(Hf) @ np.asarray(plant.x_rest())
+    model = learn_ssm([z[5:] for _, z in decays], dt, state_dim=6,
+                      SSM_order=3, ROM_order=3, n_delay=0, z_ref=z_eq,
+                      actuated_trajs=[z for z, _ in acts_data],
+                      input_trajs=[u for _, u in acts_data],
+                      ridge=[1e-8, 1e-6, 1e-4, 1e-2], joint_fit=True)
+    save_mat(model, os.path.join(args.out, "trunk_SSM_model.mat"))
     print(f"[{time.time()-t0:6.1f}s] SSM trained: state_dim "
           f"{model.state_dim}, saved trunk_SSM_model.mat", flush=True)
 

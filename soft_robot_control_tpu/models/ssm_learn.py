@@ -93,6 +93,7 @@ def _ridge_fit(Phi, Y, lam: float):
 def learn_ssm(decay_trajs, dt: float, state_dim: int, SSM_order: int = 3,
               ROM_order: int = 3, z_ref=None, n_delay: int = 0,
               actuated_trajs=None, input_trajs=None, ridge: float = 1e-8,
+              joint_fit: bool = False,
               discr_method: str = "fe") -> SSMModel:
     """Fit an SSMModel from decay trajectories.
 
@@ -218,7 +219,15 @@ def learn_ssm(decay_trajs, dt: float, state_dim: int, SSM_order: int = 3,
         lam_dyn = lam_list[int(np.argmin(scores))]
         r_coeff, rd_coeff = fit_dynamics(Xs, lam_dyn)
 
-    # 6. input matrices from actuated data (residual regression)
+    # 6. input matrices from actuated data.
+    # joint_fit=True refits [R | B] in ONE regression over decays AND
+    # actuated trajectories (features [phi(x); u]): the two-stage residual
+    # fit evaluates the decay-trained cubic R phi(x) along FORCED
+    # trajectories, whose (x, xdot) combinations sit outside the decay
+    # envelope — the extrapolated residual is garbage and so is the B
+    # regressed on it (observed: a trunk model whose 1-second 200 mN
+    # response was meters). Jointly fitted dynamics stay consistent on the
+    # union of both data families.
     m_in = 0
     B_r = None
     Bd_r = None
@@ -245,8 +254,41 @@ def learn_ssm(decay_trajs, dt: float, state_dim: int, SSM_order: int = 3,
         Uc = jnp.concatenate(U_c, axis=0)
         Rd_ = jnp.concatenate(resid_d, axis=0)
         Ud = jnp.concatenate(U_d, axis=0)
-        B_r = _ridge_fit(Uc.T, Rc.T, lam_dyn)
-        Bd_r = _ridge_fit(Ud.T, Rd_.T, lam_dyn)
+        if joint_fit:
+            n_feat = rom_exps.shape[0]
+            # continuous: [xdot_decay; xdot_act] ~ [phi, u] [R; B]'
+            Xa_dec = jnp.concatenate(Xs, axis=0)
+            Xd_dec = jnp.concatenate([differentiate(x, dt) for x in Xs],
+                                     axis=0)
+            U_dec = jnp.zeros((Xa_dec.shape[0], m_in))
+            Xa_act = jnp.concatenate(Xu, axis=0)
+            Xd_act = jnp.concatenate([differentiate(x, dt) for x in Xu],
+                                     axis=0)
+            U_act = jnp.concatenate([u[:x.shape[0]]
+                                     for x, u in zip(Xu, Us)], axis=0)
+            Phi = jnp.concatenate([
+                jnp.concatenate([lift_rom(Xa_dec), U_dec], axis=1),
+                jnp.concatenate([lift_rom(Xa_act), U_act], axis=1)], axis=0)
+            Y = jnp.concatenate([Xd_dec, Xd_act], axis=0)
+            RB = _ridge_fit(Phi.T, Y.T, lam_dyn)
+            r_coeff, B_r = RB[:, :n_feat], RB[:, n_feat:]
+            # discrete: x+ ~ [phi(x), u] [Rd; Bd]'
+            X0d = jnp.concatenate([x[:-1] for x in Xs], axis=0)
+            X1d = jnp.concatenate([x[1:] for x in Xs], axis=0)
+            X0a = jnp.concatenate([x[:-1] for x in Xu], axis=0)
+            X1a = jnp.concatenate([x[1:] for x in Xu], axis=0)
+            U0a = jnp.concatenate([u[:x.shape[0] - 1]
+                                   for x, u in zip(Xu, Us)], axis=0)
+            Phi_d = jnp.concatenate([
+                jnp.concatenate([lift_rom(X0d),
+                                 jnp.zeros((X0d.shape[0], m_in))], axis=1),
+                jnp.concatenate([lift_rom(X0a), U0a], axis=1)], axis=0)
+            Y_d = jnp.concatenate([X1d, X1a], axis=0)
+            RBd = _ridge_fit(Phi_d.T, Y_d.T, lam_dyn)
+            rd_coeff, Bd_r = RBd[:, :n_feat], RBd[:, n_feat:]
+        else:
+            B_r = _ridge_fit(Uc.T, Rc.T, lam_dyn)
+            Bd_r = _ridge_fit(Ud.T, Rd_.T, lam_dyn)
     if B_r is None:
         B_r = jnp.zeros((state_dim, max(m_in, 1)))
         Bd_r = jnp.zeros((state_dim, max(m_in, 1)))

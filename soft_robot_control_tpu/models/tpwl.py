@@ -314,15 +314,62 @@ def rollout(model: TPWLModel, x0, u, dt):
     return _rollout_impl(model, x0, u, float(dt), use_cache)
 
 
-def rollout_batch(model: TPWLModel, x0, u, dt):
+@partial(jax.jit, static_argnames=("dt",))
+def _rollout_batch_matmul(model: TPWLModel, x0, u, dt: float):
+    """Batch-fused rollout: nearest-point distances for the WHOLE batch as
+    two (B, r) x (r, P) matmuls per step instead of a (B, P, r) broadcast —
+    at reference dictionary scale (P ~ 1e3) the broadcast materializes
+    ~250 MB of HBM traffic per step and dominates the rollout. Matmuls run
+    at HIGHEST precision (f32 accumulate): bf16-rounded distances flip up
+    to ~13% of selections; f32 leaves only genuine near-ties (output
+    deviation measured ~4e-4 on the P=1087 campaign ROM)."""
+    qp = model.q
+    vp = model.v
+    hp = jax.lax.Precision.HIGHEST
+    wq = jnp.asarray(model.dist_w_q, x0.dtype)
+    wv = jnp.asarray(model.dist_w_v, x0.dtype)
+    qn = jnp.sum(qp * qp, axis=1)[None]
+    vn = jnp.sum(vp * vp, axis=1)[None]
+
+    def step(X, u_t):
+        q, v = x2qv(X)
+        dq2 = jnp.maximum(jnp.sum(q * q, axis=1)[:, None]
+                          - 2.0 * jnp.matmul(q, qp.T, precision=hp) + qn, 0.0)
+        dv2 = jnp.maximum(jnp.sum(v * v, axis=1)[:, None]
+                          - 2.0 * jnp.matmul(v, vp.T, precision=hp) + vn, 0.0)
+        idx = jnp.argmin(wq * jnp.sqrt(dq2) + wv * jnp.sqrt(dv2), axis=1)
+        A = model.A_d[idx]
+        B = model.B_d[idx]
+        d = model.d_d[idx]
+        Xn = (jnp.einsum("bij,bj->bi", A, X, precision=hp)
+              + jnp.einsum("bij,bj->bi", B, u_t, precision=hp) + d)
+        return Xn, Xn
+
+    _, Xs = jax.lax.scan(step, x0, jnp.swapaxes(u, 0, 1))
+    return jnp.concatenate([x0[:, None], jnp.swapaxes(Xs, 0, 1)], axis=1)
+
+
+def rollout_batch(model: TPWLModel, x0, u, dt, select: str = "auto"):
     """vmapped rollout over a batch of initial conditions and input plans.
 
     x0: (B, n_x); u: (B, N, n_u). Returns (B, N+1, n_x).
     This is the 1024-way batched rollout path (BASELINE.json config 5).
+
+    select: 'exact' = per-sample scans with direct-difference distances;
+    'matmul' = batch-fused matmul distances (faster at large B x P; argmin
+    ties among near-duplicate dictionary points may resolve differently
+    within fp noise); 'auto' picks 'matmul' for B >= 32 nn-cached models.
     """
     use_cache = (model.pre_discretized_dt is not None
                  and model.tpwl_method == "nn"
                  and float(dt) == model.pre_discretized_dt)
+    if select == "auto":
+        select = "matmul" if (use_cache and x0.shape[0] >= 32) else "exact"
+    if select == "matmul":
+        if not use_cache:
+            raise ValueError("select='matmul' needs the pre-discretized "
+                             "nn cache at this dt")
+        return _rollout_batch_matmul(model, x0, u, float(dt))
     fn = jax.vmap(lambda a, b: _rollout_impl(model, a, b, float(dt), use_cache))
     return fn(x0, u)
 

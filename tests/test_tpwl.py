@@ -228,3 +228,20 @@ def test_weighting_mode_rollout():
             jnp.array(A), jnp.array(B), jnp.array(d), dt)]
         x[i + 1] = Ad @ x[i] + Bd @ u[i] + dd
     np.testing.assert_allclose(x_jax, x, atol=1e-8)
+
+
+def test_rollout_batch_matmul_matches_exact():
+    """The batch-fused matmul rollout path reproduces the exact per-sample
+    path (identical selections away from fp near-ties)."""
+    import jax
+    from soft_robot_control_tpu.tasks.demo import make_demo_tpwl
+    from soft_robot_control_tpu.models.tpwl import rollout_batch
+
+    model = make_demo_tpwl(r=8, P=40, m=3, nz=2, nf=16,
+                           dtype=np.float64).pre_discretize(0.02)
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(0.1 * rng.normal(size=(64, model.state_dim)))
+    u = jnp.asarray(np.abs(rng.normal(size=(64, 30, 3))))
+    Xa = np.asarray(rollout_batch(model, x0, u, 0.02, select="exact"))
+    Xb = np.asarray(rollout_batch(model, x0, u, 0.02, select="matmul"))
+    np.testing.assert_allclose(Xb, Xa, rtol=1e-8, atol=1e-9)
