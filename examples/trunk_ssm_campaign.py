@@ -162,9 +162,22 @@ def main():
                       actuated_trajs=[z for z, _ in acts_data],
                       input_trajs=[u for _, u in acts_data],
                       ridge=[1e-8, 1e-6, 1e-4, 1e-2], joint_fit=True)
-    save_mat(model, os.path.join(args.out, "trunk_SSM_model.mat"))
     print(f"[{time.time()-t0:6.1f}s] SSM trained: state_dim "
-          f"{model.state_dim}, saved trunk_SSM_model.mat", flush=True)
+          f"{model.state_dim}", flush=True)
+
+    # ---- acceptance gate #1: unforced decay must contract --------------
+    # (the module_test accept-gate pattern of
+    # /root/reference/examples/hardware/diamond_SSM.py:21-140; mirrors
+    # tests/test_trunk_ssm.py::test_trunk_ssm_dims_and_stability so an
+    # unstable fit is never committed)
+    x0_stab = model.observed_to_reduced(jnp.asarray(2.0 * np.ones(6)))
+    xs_stab, _ = model.rollout(x0_stab, jnp.zeros((200, 8)), 0.01)
+    n0 = float(jnp.linalg.norm(xs_stab[0]))
+    nT = float(jnp.linalg.norm(xs_stab[-1]))
+    stable = bool(np.isfinite(nT) and nT < n0)
+    print(f"[{time.time()-t0:6.1f}s] stability gate: |x| {n0:.3f} -> "
+          f"{nT:.3f} over 200 unforced steps -> "
+          f"{'PASS' if stable else 'FAIL'}", flush=True)
 
     # held-out actuated validation
     from soft_robot_control_tpu.tasks.sysid_export import (
@@ -196,6 +209,28 @@ def main():
     print(f"[{time.time()-t0:6.1f}s] held-out actuated tip prediction "
           f"rel RMS mean {rel:.3f} over {len(rels)} runs "
           f"({['%.3f' % r for r in rels]})", flush=True)
+
+    # ---- acceptance gate #2: held-out fidelity; persist only if BOTH ----
+    # gates pass (never overwrite a committed artifact with a worse fit)
+    accept = stable and rel < 0.6
+    art_path = os.path.join(args.out, "trunk_SSM_model.mat")
+    if accept:
+        save_mat(model, art_path)
+        print(f"[{time.time()-t0:6.1f}s] gates PASS -> saved "
+              f"trunk_SSM_model.mat", flush=True)
+    else:
+        rej_path = os.path.join(args.out, "trunk_SSM_model.rejected.mat")
+        save_mat(model, rej_path)
+        print(f"[{time.time()-t0:6.1f}s] gates FAIL (stable={stable}, "
+              f"held-out rel {rel:.3f}) -> artifact NOT persisted; fit "
+              f"written to {os.path.basename(rej_path)} for inspection",
+              flush=True)
+        if not os.path.exists(art_path):
+            raise SystemExit(1)
+        model = ssm_mod.from_mat(art_path, None, discrete=False,
+                                 discr_method="be")
+        print(f"[{time.time()-t0:6.1f}s] continuing MPC with the previously "
+              f"accepted artifact", flush=True)
 
     if args.skip_mpc:
         return

@@ -244,6 +244,25 @@ class BatchMPC:
         self._run = None
 
     # ------------------------------------------------------------------
+    def _shift_plan(self, x_plan, u_plan, axis: int = 0):
+        """Advance the previous window's plan by N_replan steps so the
+        linearization trajectory is time-aligned with the new window (the
+        reference shifts its previous solution the same way before warm-
+        starting, scp/ros.py:110-114). Entries beyond the old horizon
+        repeat the last plan point. Without this the TPWL points are
+        gathered at states N_replan steps stale."""
+        N_rep = self.N_replan
+
+        def sh(a):
+            head = jax.lax.slice_in_dim(a, N_rep, a.shape[axis], axis=axis)
+            last = jax.lax.slice_in_dim(a, a.shape[axis] - 1, a.shape[axis],
+                                        axis=axis)
+            reps = [1] * a.ndim
+            reps[axis] = N_rep
+            return jnp.concatenate([head, jnp.tile(last, reps)], axis=axis)
+
+        return sh(x_plan), sh(u_plan)
+
     def _mpc_query(self, x0, x_plan_prev, u_plan_prev, z_win, warm):
         """One MPC query: scp_iters LOCP solves linearized along the current
         plan (scp_iters=1 == the reference's max_gusto_iters=0 real-time
@@ -254,6 +273,7 @@ class BatchMPC:
         shift here."""
         m = self.model
         spec = self.spec
+        x_plan_prev, u_plan_prev = self._shift_plan(x_plan_prev, u_plan_prev)
         if m.z_ref is not None:
             z_win = z_win - jnp.asarray(m.z_ref, z_win.dtype)
 
@@ -349,6 +369,8 @@ class BatchMPC:
         m = self.model
         spec = self.spec
         B = x0.shape[0]
+        x_plan_prev, u_plan_prev = self._shift_plan(x_plan_prev, u_plan_prev,
+                                                    axis=1)
         if m.z_ref is not None:  # absolute targets in, shifted QP inside
             z_win = z_win - jnp.asarray(m.z_ref, z_win.dtype)
 
@@ -633,8 +655,11 @@ class BatchSSMMPC:
             Ad=Ad, Bd=Bd, dd=dd, x0=x0, z=z_win,
             u_des=jnp.zeros((self.N, self.n_u), self.dtype), Hd=Hd, cd=cd)
 
+    _shift_plan = BatchMPC._shift_plan
+
     def _mpc_query(self, x0, x_plan_prev, u_plan_prev, z_win, warm):
         m, spec = self.model, self.spec
+        x_plan_prev, u_plan_prev = self._shift_plan(x_plan_prev, u_plan_prev)
         Ad, Bd, dd, Hd, cd = self._lin_traj(x_plan_prev, u_plan_prev)
         w0, y0 = warm
         if self.formulation == "condensed":
@@ -736,6 +761,7 @@ class BatchSSMMPC:
 
         def query_batched(x0, x_k, u_k, z_win, warm):
             B = x0.shape[0]
+            x_k, u_k = self._shift_plan(x_k, u_k, axis=1)
             w0, y0 = warm
             if self.formulation == "condensed":
                 P, q, A, l, u, _, xfree, G = jax.vmap(assemble_one_c)(

@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import os
 import re
+import warnings
 from functools import partial
 
 import jax
@@ -709,24 +710,86 @@ def _cable_column(points, tets, waypoints, pull_point=None):
     return col
 
 
+def with_young_scale(plant: TetFEM, s: float, alpha: float = None,
+                     settle_time: float = 0.0) -> TetFEM:
+    """Return a plant with Young's modulus scaled by ``s`` (and optionally a
+    new Rayleigh alpha) WITHOUT re-assembling or re-eigendecomposing.
+
+    Because the lumped mass is a scalar multiple of the identity, the step
+    matrix S(s) = (1+dt*a)*m*I + (dt*b+dt^2)*s*K0 commutes with K0 and
+    shares its eigenvectors: only the eigenvalues shift. This makes
+    stiffness calibration against SOFA's recorded rest field (rest_qv.pkl)
+    a few settle runs instead of hours of dense eigh at n=9768.
+    """
+    dt = plant.dt
+    m = float(plant.m_node)
+    a_old = float(plant.alpha)
+    a_new = a_old if alpha is None else float(alpha)
+    c1o, c2o = 1.0 + dt * a_old, dt * float(plant.beta) + dt * dt
+    c1n, c2n = 1.0 + dt * a_new, c2o
+    # recover K0 eigenvalues on the shared eigenvectors, then rebuild S's
+    lam_k = (plant.S_lam - c1o * m) / c2o
+    S_lam_new = jnp.maximum(c1n * m + c2n * s * lam_k,
+                            jnp.asarray(1e-8 * m, plant.S_lam.dtype))
+    leaves, aux = plant.tree_flatten()
+    dtype = plant.S_lam.dtype
+    new = TetFEM.tree_unflatten(aux, leaves)
+    new.Ke = plant.Ke * dtype.type(s)
+    new.K0 = plant.K0 * dtype.type(s)
+    new.alpha = jnp.asarray(a_new, dtype)
+    new.S_lam = S_lam_new.astype(dtype)
+    if settle_time > 0.0:
+        from soft_robot_control_tpu.sim.fem_surrogate import simulate
+        T = int(round(settle_time / dt))
+        u0 = jnp.zeros((T, new.input_dim), dtype)
+        X = simulate(new, qv2x(new.rest_pos, jnp.zeros_like(new.rest_pos)),
+                     u0, dt)
+        new.q_eq = X[-1, new.n_nodes_dof:]
+    return new
+
+
 PLANT_CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), ".plant_cache")
 
 
 def _save_plant(plant: TetFEM, path: str) -> None:
+    """Atomic write (tmp + rename): a process killed mid-write must never
+    leave a truncated npz at the cache path."""
     leaves, aux = plant.tree_flatten()
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    np.savez_compressed(path, aux=np.asarray(aux, dtype=np.float64),
-                        **{f"leaf{i}": np.asarray(a)
-                           for i, a in enumerate(leaves)})
+    tmp = path + f".tmp.{os.getpid()}.npz"  # np.savez appends .npz itself
+    try:
+        np.savez_compressed(tmp, aux=np.asarray(aux, dtype=np.float64),
+                            **{f"leaf{i}": np.asarray(a)
+                               for i, a in enumerate(leaves)})
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
 
 
 def _load_plant(path: str) -> TetFEM:
+    """Raises on any corruption; callers catch and rebuild."""
     z = np.load(path)
     leaves = [jnp.asarray(z[f"leaf{i}"]) for i in range(len(z.files) - 1)]
     dt, cg_iters, cg_tol = z["aux"]
     return TetFEM.tree_unflatten((float(dt), int(cg_iters), float(cg_tol)),
                                  leaves)
+
+
+def _load_plant_or_evict(path: str):
+    """Load a cached plant; on any failure (truncated zip, missing keys,
+    bad shapes) evict the corrupt file and return None so the caller
+    rebuilds instead of failing forever."""
+    try:
+        return _load_plant(path)
+    except Exception as e:  # noqa: BLE001 — any corruption means rebuild
+        warnings.warn(f"corrupt plant cache {path} ({e!r}); rebuilding")
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+        return None
 
 
 def build_tet_fem(points: np.ndarray, tets: np.ndarray, *, young: float,
@@ -849,7 +912,9 @@ def diamond_tet_fem(*, young: float = 175.0, poisson: float = 0.45,
     cpath = os.path.join(PLANT_CACHE_DIR, key)
     use_cache = cache and mesh_path is None
     if use_cache and os.path.exists(cpath):
-        return _load_plant(cpath)
+        cached = _load_plant_or_evict(cpath)
+        if cached is not None:
+            return cached
     mesh_path = mesh_path or os.path.join(REFERENCE_MESH_DIR, "diamond.vtu")
     pts, tets = load_vtu_ascii(mesh_path)
     pts = transform_mesh(pts, rotation_deg=(90.0, 0.0, 0.0),
@@ -880,7 +945,9 @@ def trunk_tet_fem(*, young: float = 450.0, poisson: float = 0.45,
     cpath = os.path.join(PLANT_CACHE_DIR, key)
     use_cache = cache and mesh_path is None
     if use_cache and os.path.exists(cpath):
-        return _load_plant(cpath)
+        cached = _load_plant_or_evict(cpath)
+        if cached is not None:
+            return cached
     mesh_path = mesh_path or os.path.join(REFERENCE_MESH_DIR, "trunk.vtk")
     pts, tets = load_vtk_legacy(mesh_path)
     g = (0.0, 0.0, 9810.0) if gravity_on else (0.0, 0.0, 0.0)
