@@ -1,0 +1,293 @@
+"""Diamond SSM campaign: native SSM identification + nonlinear MPC on the
+full-scale Diamond tet plant (the reference's flagship SSM result,
+/root/reference/examples/hardware/diamond_SSM.py:144-225 + run_gusto_solver
+:228-361, with the MATLAB SSMLearn stage replaced by models/ssm_learn.py).
+
+  1. decay campaign        : hold each cable pattern, release, record tip
+                             [q; v] decays (examples/diamond/SSM_sysID.py role)
+  2. native SSM fit        : 6-dim spectral subspace, cubic chart /
+                             parametrization / reduced dynamics, input
+                             matrices from actuated runs (joint [R|B] fit)
+  3. acceptance gates      : unforced-decay contraction + held-out actuated
+                             fidelity (module_test pattern,
+                             diamond_SSM.py:21-140) — artifact persisted
+                             only when both pass
+  4. closed-loop SSM MPC   : scp_ssm + manifold observer + GuSTO with
+                             max_gusto_iters=0 (one LOCP per MPC query,
+                             diamond_SSM.py:361), N=3, control dt=0.02,
+                             N_replan=2, figure-8 z = (-15 sin th,
+                             15 sin 2th) around the rest tip
+                             (diamond_SSM.py:281-282) ON THE TET PLANT.
+
+    python examples/diamond_ssm_campaign.py --out examples/diamond_tet
+    python examples/diamond_ssm_campaign.py --quick
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def tip_qv_output(num_nodes: int, node: int):
+    """C producing z = [q_tip; v_tip] from x = [v; q] (the ordering
+    models/ssm.py expects; measurement_models.py evaluate(qv=True))."""
+    import numpy as np
+    C = np.zeros((6, 6 * num_nodes))
+    for k in range(3):
+        C[k, 3 * num_nodes + 3 * node + k] = 1.0      # q block of x
+        C[3 + k, 3 * node + k] = 1.0                  # v block of x
+    return C
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None,
+                    help="cpu forces CPU/float64; default = session TPU f32")
+    ap.add_argument("--out", default=os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "diamond_tet"))
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--amp", type=float, default=900.0,
+                    help="cable hold amplitude for decays (mN)")
+    ap.add_argument("--sim-duration", type=float, default=11.0)
+    ap.add_argument("--skip-mpc", action="store_true")
+    ap.add_argument("--fresh-data", action="store_true")
+    ap.add_argument("--state-dim", type=int, default=6)
+    ap.add_argument("--ssm-order", type=int, default=3)
+    ap.add_argument("--rom-order", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+        np_dtype_name = "float64"
+    else:
+        np_dtype_name = "float32"
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(os.path.dirname(
+                              os.path.abspath(__file__))), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import numpy as np
+    import jax.numpy as jnp
+    from soft_robot_control_tpu.robots.robots import DiamondTetRobot
+    from soft_robot_control_tpu.models import ssm as ssm_mod
+    from soft_robot_control_tpu.models.ssm_learn import learn_ssm, save_mat
+
+    np_dtype = np.float64 if np_dtype_name == "float64" else np.float32
+    t0 = time.time()
+    robot = DiamondTetRobot(dtype=np_dtype)
+    plant = robot.plant
+    print(f"[{time.time()-t0:6.1f}s] Diamond tet plant: {plant.n_nodes} "
+          f"nodes, state dim {plant.state_dim}, {plant.input_dim} cables; "
+          f"devices={jax.devices()}", flush=True)
+
+    os.makedirs(args.out, exist_ok=True)
+    tip = 1354  # reference TIP_NODE (examples/hardware/diamond_SSM.py:19)
+    Hf = tip_qv_output(plant.n_nodes, tip)
+    dt = robot.dt
+    amp = args.amp
+
+    # decay levels: each cable individually at two amplitudes + adjacent
+    # pairs (SSM_sysID.py's constant-hold decay sweep; the diamond's 4
+    # cables pull the tip toward 4 diagonal directions)
+    levels = []
+    for i in range(4):
+        lv = np.zeros(4)
+        lv[i] = amp
+        levels.append(lv)
+    for i in range(4):
+        lv = np.zeros(4)
+        lv[i] = 0.5 * amp
+        levels.append(lv)
+    levels += [np.array([amp, amp, 0.0, 0.0]) / 1.6,
+               np.array([0.0, amp, amp, 0.0]) / 1.6,
+               np.array([0.0, 0.0, amp, amp]) / 1.6,
+               np.array([amp, 0.0, 0.0, amp]) / 1.6]
+    if args.quick:
+        levels = levels[:4]
+
+    hold_t = 1.5 if args.quick else 2.0
+    decay_t = 2.5 if args.quick else 4.0
+    T_act = int(round((hold_t + decay_t) / dt))
+    tt = dt * np.arange(T_act)
+    # actuated runs (input-matrix fit): per-cable individual sines first,
+    # then mixed pairs — correlated all-cable excitation cannot separate
+    # per-cable input directions (see trunk_ssm_campaign.py note)
+    rng = np.random.default_rng(0)
+    acts = []
+    for k in range(len(levels)):
+        u = np.zeros((T_act, 4))
+        if k < 4:
+            fr = 0.4 + 0.2 * k
+            u[:, k] = 0.5 * amp * (1 + np.sin(2 * np.pi * fr * tt))
+        elif k < 8:
+            fr = 0.3 + 0.2 * (k - 4)
+            u[:, k - 4] = 0.35 * amp * (1 + np.sin(2 * np.pi * fr * tt
+                                                   + np.pi / 3))
+        else:
+            i, j = (k - 8) % 4, (k - 7) % 4
+            u[:, i] = 0.4 * amp * (1 + np.sin(2 * np.pi * 0.5 * tt))
+            u[:, j] = 0.4 * amp * (1 + np.sin(2 * np.pi * 0.7 * tt
+                                              + rng.uniform(0, 2 * np.pi)))
+        acts.append(u)
+
+    import pickle
+    cache_f = os.path.join(args.out, "ssm_sysid_data.pkl")
+    if os.path.exists(cache_f) and not args.fresh_data:
+        with open(cache_f, "rb") as f:
+            blob = pickle.load(f)
+        decays, acts_data = blob["decays"], blob["acts"]
+        print(f"[{time.time()-t0:6.1f}s] sysid data loaded from cache",
+              flush=True)
+    else:
+        from soft_robot_control_tpu.tasks.sysid_export import (
+            collect_actuated_trajectories, collect_decay_trajectories)
+        decays = collect_decay_trajectories(plant, Hf, levels,
+                                            hold_time=hold_t,
+                                            decay_time=decay_t, dt=dt)
+        acts_data = collect_actuated_trajectories(plant, Hf, acts, dt=dt)
+        with open(cache_f, "wb") as f:
+            pickle.dump({"decays": decays, "acts": acts_data}, f)
+        print(f"[{time.time()-t0:6.1f}s] sysid data collected + cached",
+              flush=True)
+
+    z_eq = np.asarray(Hf) @ np.asarray(plant.x_rest())
+    model = learn_ssm([z[5:] for _, z in decays], dt,
+                      state_dim=args.state_dim,
+                      SSM_order=args.ssm_order, ROM_order=args.rom_order,
+                      n_delay=0, z_ref=z_eq,
+                      actuated_trajs=[z for z, _ in acts_data],
+                      input_trajs=[u for _, u in acts_data],
+                      ridge=[1e-8, 1e-6, 1e-4, 1e-2], joint_fit=True)
+    print(f"[{time.time()-t0:6.1f}s] SSM trained: state_dim "
+          f"{model.state_dim}", flush=True)
+
+    # ---- acceptance gate #1: unforced decay contracts ------------------
+    x0_stab = model.observed_to_reduced(jnp.asarray(
+        np.concatenate([3.0 * np.ones(3), np.zeros(3)])))
+    xs_stab, _ = model.rollout(x0_stab, jnp.zeros((200, 4)), dt)
+    n0 = float(jnp.linalg.norm(xs_stab[0]))
+    nT = float(jnp.linalg.norm(xs_stab[-1]))
+    stable = bool(np.isfinite(nT) and nT < n0)
+    print(f"[{time.time()-t0:6.1f}s] stability gate: |x| {n0:.3f} -> "
+          f"{nT:.3f} over 200 unforced steps -> "
+          f"{'PASS' if stable else 'FAIL'}", flush=True)
+
+    # ---- acceptance gate #2: held-out actuated fidelity ----------------
+    from soft_robot_control_tpu.tasks.sysid_export import (
+        collect_actuated_trajectories)
+    u_tests = []
+    for k in range(len(levels)):   # same batch size -> same compiled program
+        ph = rng.uniform(0, 2 * np.pi, 4)
+        u_t = 0.4 * amp * (1 + np.sin(2 * np.pi * 0.45 * tt[:, None]
+                                      + ph[None, :]))
+        u_tests.append(u_t)
+    tests = collect_actuated_trajectories(plant, Hf, u_tests, dt=dt)
+    rels = []
+    for z_true, u_test in tests:
+        x0 = model.observed_to_reduced(jnp.asarray(
+            z_true[0] - np.asarray(model.z_ref)))
+        xs, _ = model.rollout(x0, jnp.asarray(u_test[:-1]), dt)
+        z_pred = np.asarray(jax.vmap(model.reduced_to_observed)(xs)) \
+            + np.asarray(model.z_ref)
+        err = np.linalg.norm(z_pred[:, :3] - z_true[:, :3], axis=1)
+        motion = np.linalg.norm(z_true[:, :3] - z_true[0, :3], axis=1)
+        rels.append(float(np.sqrt(np.mean(err**2))
+                          / max(motion.max(), 1e-9)))
+    rel = float(np.mean(rels))
+    print(f"[{time.time()-t0:6.1f}s] held-out actuated tip prediction "
+          f"rel RMS mean {rel:.3f} over {len(rels)} runs "
+          f"({['%.3f' % r for r in rels]})", flush=True)
+
+    accept = stable and rel < 0.5
+    art_path = os.path.join(args.out, "diamond_SSM_model.mat")
+    if accept:
+        save_mat(model, art_path)
+        print(f"[{time.time()-t0:6.1f}s] gates PASS -> saved "
+              f"diamond_SSM_model.mat", flush=True)
+    else:
+        rej = os.path.join(args.out, "diamond_SSM_model.rejected.mat")
+        save_mat(model, rej)
+        print(f"[{time.time()-t0:6.1f}s] gates FAIL (stable={stable}, "
+              f"held-out rel {rel:.3f}) -> artifact NOT persisted; fit "
+              f"written to {os.path.basename(rej)}", flush=True)
+        if not os.path.exists(art_path):
+            raise SystemExit(1)
+        model = ssm_mod.from_mat(art_path, None, discrete=False,
+                                 discr_method="be")
+        print(f"[{time.time()-t0:6.1f}s] continuing MPC with the previously "
+              f"accepted artifact", flush=True)
+
+    if args.skip_mpc:
+        return
+
+    # ---- closed-loop SSM MPC on the tet plant --------------------------
+    # reference configuration: control dt 0.02 (2 plant ticks), N=3,
+    # N_replan=2, Qz=diag(100,100,0,...), R=1e-5, figure-8 around rest
+    # (diamond_SSM.py:195-218, 281-282, 355-361)
+    from soft_robot_control_tpu.control.mpc import scp_ssm
+    from soft_robot_control_tpu.control.service import GuSTOService
+    from soft_robot_control_tpu.core.constraints import HyperRectangle
+    from soft_robot_control_tpu.models.interfaces import SSMGuSTO
+    from soft_robot_control_tpu.sim.closed_loop import run_closed_loop
+
+    gm = SSMGuSTO(model)
+    nz = model.output_dim
+    dt_c = 2 * dt
+    T_traj = max(args.sim_duration + 4.0, 10.0)
+    t_target = np.arange(0, T_traj, dt)
+    th = 2 * np.pi * t_target / 10.0
+    z_target = np.zeros((len(t_target), nz))
+    z_target[:, 0] = -15.0 * np.sin(th)
+    z_target[:, 1] = 15.0 * np.sin(2 * th)
+    Qz = np.zeros((nz, nz))
+    Qz[0, 0] = Qz[1, 1] = 100.0
+    R = 1e-5 * np.eye(model.input_dim)
+    U = HyperRectangle(robot.u_max * np.ones(4), np.zeros(4))
+
+    x0r = np.zeros(model.state_dim)
+    service = GuSTOService(gm, N=3, dt=dt_c, Qz=Qz, R=R, x0=x0r,
+                           t=t_target, z=z_target, U=U, verbose=0,
+                           max_gusto_iters=0, convg_thresh=1e-3)
+    controller = scp_ssm(model, None, dt_c, N_replan=2, delay=1.0,
+                         wait=True, solver_service=service)
+
+    Cf = robot.get_measurement_model(nodes=[tip])
+
+    class _Lin:
+        def __init__(self, M):
+            self.M = jnp.asarray(M, jnp.asarray(plant.rest_pos).dtype)
+
+        def evaluate(self, x, key=None):
+            return self.M @ x
+
+    sim = run_closed_loop(plant, controller,
+                          sim_duration=args.sim_duration, dt=dt,
+                          measurement_model=_Lin(Cf),
+                          output_model=_Lin(Hf))
+    z = np.asarray(sim["z"])  # [q_tip; v_tip]
+    t = np.asarray(sim["t"])
+    zs = z[:, :2] - np.asarray(model.z_ref)[:2]
+    mask = t > 2.0
+    zx = np.interp(t[mask], t_target, z_target[:, 0])
+    zy = np.interp(t[mask], t_target, z_target[:, 1])
+    err = np.hypot(zs[mask, 0] - zx, zs[mask, 1] - zy)
+    rmse = float(np.sqrt(np.mean(err**2)))
+    print(f"[{time.time()-t0:6.1f}s] Diamond SSM MPC on tet plant: tracking "
+          f"RMSE {rmse:.2f} mm (figure-8 amp 15 mm)", flush=True)
+    from soft_robot_control_tpu.utils.io import save_data
+    save_data(os.path.join(args.out, "diamond_ssm_mpc_sim.pkl"), sim)
+    import json
+    with open(os.path.join(args.out, "diamond_ssm_mpc.json"), "w") as f:
+        json.dump({"tracking_rmse_mm": rmse, "figure8_amp_mm": 15.0,
+                   "held_out_rel": rel, "stable": stable,
+                   "sim_duration_s": args.sim_duration,
+                   "platform": np_dtype_name}, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

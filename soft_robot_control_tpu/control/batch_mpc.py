@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from soft_robot_control_tpu.estimators.ekf import EKFState, ekf_update
+from soft_robot_control_tpu.core.constraints import HyperRectangle
+from soft_robot_control_tpu.estimators.ekf import EKFState, ekf_correct
 from soft_robot_control_tpu.lqr.riccati import dare
 from soft_robot_control_tpu.qp.admm import OSQP_RHO_EQ_SCALE
 from soft_robot_control_tpu.scp.locp import LOCPParams, LOCPSpec
@@ -134,6 +135,95 @@ def make_kinv(P, A, rho_vec, sigma=1e-6):
     return mm(M1.T, M1)
 
 
+def equilibrate_qp(P, q, A, l, u, w0, y0, iters: int = 6):
+    """Ruiz-equilibrate a QP and transform bounds + warm start into the
+    scaled space (OSQP sec 5.1; reuses qp/admm.py:_ruiz_equilibrate).
+    Returns scaled (P,q,A,l,u,w0,y0) and the (d, e, c) scalings needed to
+    map the solution back: w = d*w_s, y = e*y_s/c.
+
+    Without this the fixed-iteration kernels run on raw condensed data
+    whose row/column scales differ by ~1e4 (G-chain outputs vs u bounds in
+    mN), and no single rho converges both residuals — measured on the
+    campaign model: rel tracking 0.20 at the rho that respects bounds,
+    500 mN bound violation at the rho that tracks."""
+    from soft_robot_control_tpu.qp.admm import _ruiz_equilibrate
+
+    Ps, qs, As, d, e, c = _ruiz_equilibrate(P, q, A, iters)
+    return Ps, qs, As, e * l, e * u, w0 / d, c * y0 / e, (d, e, c)
+
+
+def _rho_multiplier(P, q, A, l, u, w, y):
+    """OSQP residual-balance rho multiplier sqrt(pri_rel / dua_rel) at the
+    current iterate (w, y) with z = clip(Aw, l, u) — the same balance the
+    adaptive full solver uses (qp/admm.py:226-250), evaluated once between
+    fixed-iteration stages instead of inside the loop."""
+    hi = jax.lax.Precision.HIGHEST
+    Ax = jnp.matmul(A, w, precision=hi)
+    z = jnp.clip(Ax, l, u)
+    pri = jnp.max(jnp.abs(Ax - z))
+    pri_sc = jnp.maximum(
+        jnp.maximum(jnp.max(jnp.abs(Ax)), jnp.max(jnp.abs(z))), 1e-12)
+    Px = jnp.matmul(P, w, precision=hi)
+    Aty = jnp.matmul(A.T, y, precision=hi)
+    dua = jnp.max(jnp.abs(Px + q + Aty))
+    dua_sc = jnp.maximum(
+        jnp.maximum(jnp.max(jnp.abs(Px)), jnp.max(jnp.abs(Aty))),
+        jnp.maximum(jnp.max(jnp.abs(q)), 1e-12))
+    return jnp.sqrt((pri / pri_sc) / jnp.maximum(dua / dua_sc, 1e-18))
+
+
+def admm_staged_kinv(P, q, A, l, u, w0, y0, rho0_vec, iters: int,
+                     stages: int = 1, sigma=1e-6, alpha=1.6):
+    """Fixed-TOTAL-iteration ADMM with `stages` rho re-balancing points:
+    run iters/stages iterations, rebalance the per-row rho from the scaled
+    residual ratio, rebuild K^-1 (cheap — the condensed KKT is (N*nu)^2),
+    repeat. stages=1 is the plain fixed-iteration kernel. A mistuned fixed
+    rho costs ~10x tracking accuracy at 50 f32 iterations (measured on the
+    campaign model); one rebalance recovers most of it."""
+    per = max(1, iters // stages)
+    rho_vec = rho0_vec
+    w, y = w0, y0
+    for s in range(stages):
+        Kinv = make_kinv(P, A, rho_vec, sigma)
+        w, y = admm_fixed_kinv(Kinv, q, A, l, u, w, y, rho_vec, per,
+                               sigma, alpha)
+        if s < stages - 1:
+            mult = _rho_multiplier(P, q, A, l, u, w, y)
+            rho_vec = jnp.clip(rho_vec * mult, 1e-6, 1e6)
+    return w, y
+
+
+def admm_staged_pallas(P, q, A, l, u, w0, y0, rho0_vec, iters: int,
+                       stages: int, interpret: bool, sigma=1e-6, alpha=1.6):
+    """Batched staged ADMM through the grid-batched Pallas kernel.
+
+    The kernel takes one shared rho row, but after the first rebalance each
+    window wants its own rho; per-row rho is equivalent to row-scaling the
+    constraints (rho_i <-> scaling row i by sqrt(rho_i) at unit rho), so
+    the per-window rho is folded into A/l/u/y and the kernel always runs at
+    rho = 1 after stage 0."""
+    from soft_robot_control_tpu.ops.pallas_admm import admm_batched_pallas
+
+    B = q.shape[0]
+    per = max(1, iters // stages)
+    rho = jnp.broadcast_to(rho0_vec, (B, rho0_vec.shape[-1]))
+    ones = jnp.ones(rho0_vec.shape[-1], q.dtype)
+    w, y = w0, y0
+    for s in range(stages):
+        srt = jnp.sqrt(rho)
+        As = A * srt[:, :, None]
+        ls, us = srt * l, srt * u
+        ys = y / srt
+        Kinv = jax.vmap(lambda P_, A_: make_kinv(P_, A_, ones, sigma))(P, As)
+        w, ys = admm_batched_pallas(Kinv, As, q, ls, us, ones, w, ys, per,
+                                    sigma, alpha, interpret=interpret)
+        y = srt * ys
+        if s < stages - 1:
+            mult = jax.vmap(_rho_multiplier)(P, q, A, l, u, w, y)
+            rho = jnp.clip(rho * mult[:, None], 1e-6, 1e6)
+    return w, y
+
+
 def admm_fixed_kinv(Kinv, q, A, l, u, w0, y0, rho_vec, iters: int,
                     sigma=1e-6, alpha=1.6):
     """Fixed-iteration ADMM with a precomputed K^-1: every iteration is
@@ -166,6 +256,7 @@ class BatchMPC:
                  delta0: float = 1e4, omega0: float = 1.0,
                  trust_region: bool = False, use_pallas: bool = False,
                  x_step: str = "chol", formulation: str = "sparse",
+                 scaling_iters: int = 6, rho_stages: int = 1,
                  dtype=jnp.float32):
         """
         model: TPWLModel with output + measurement models set, will be
@@ -215,6 +306,21 @@ class BatchMPC:
         # the fast path under vmap where batched triangular solves dominate)
         self.x_step = x_step
         self.formulation = formulation
+        # Ruiz equilibration of the per-window QP before the fixed-iteration
+        # kernel (see equilibrate_qp); 0 disables
+        self.scaling_iters = int(scaling_iters)
+        # rho re-balancing points inside the fixed iteration budget
+        # (admm_staged_kinv); 1 = plain fixed-rho kernel
+        self.rho_stages = int(rho_stages)
+        # executed-command clamp: the closed-loop bridge applies actuation
+        # limits to the final command (reference clamps at min_force,
+        # sim/closed_loop.py does the same) — the DARE feedback term is
+        # outside the QP's constraint set
+        self.u_clamp = None
+        if isinstance(U, HyperRectangle):
+            b = np.asarray(U.b, np.float64)
+            self.u_clamp = (jnp.asarray(-b[1::2], dtype),
+                            jnp.asarray(b[0::2], dtype))
         if formulation == "condensed":
             if trust_region:
                 raise NotImplementedError(
@@ -241,7 +347,40 @@ class BatchMPC:
         K, _ = jax.vmap(lambda a, b: dare(a, b, Qk, Rk))(m.A_d, m.B_d)
         self.K_pts = K.astype(dtype)
 
+        # mp-sharded dictionary mode (parallel/mesh.py): when set (inside a
+        # shard_map trace), self.model/K_pts hold only the LOCAL point shard,
+        # _mp_valid masks padding rows, and every nearest-point selection
+        # goes through a distributed argmin + owner psum over _mp_axis
+        self._mp_axis = None
+        self._mp_valid = None
+
         self._run = None
+
+    # ------------------------------------------------------------------
+    def _select(self, x, arrays):
+        """Nearest-dictionary-point row of each array in `arrays` at state
+        x. Local mode: one argmin + len(arrays) gathers. mp mode (dictionary
+        sharded over a mesh axis): local argmin on the shard, global pmin,
+        and the owning shard contributes its rows through a psum — the same
+        collective pattern as parallel/mesh.py:shard_tpwl_gather."""
+        m = self.model
+        if self._mp_axis is None:
+            i = m.calc_nearest_point(x)
+            return tuple(a[i] for a in arrays)
+        dist = m.point_distances(x)
+        if self._mp_valid is not None:
+            dist = jnp.where(self._mp_valid, dist, jnp.inf)
+        li = jnp.argmin(dist)
+        lmin = dist[li]
+        gmin = jax.lax.pmin(lmin, self._mp_axis)
+        rank = jax.lax.axis_index(self._mp_axis)
+        owner = jax.lax.pmin(
+            jnp.where(lmin == gmin, rank, jnp.iinfo(jnp.int32).max),
+            self._mp_axis)
+        sel = (rank == owner)
+        return tuple(
+            jax.lax.psum(jnp.where(sel, 1, 0).astype(a.dtype) * a[li],
+                         self._mp_axis) for a in arrays)
 
     # ------------------------------------------------------------------
     def _shift_plan(self, x_plan, u_plan, axis: int = 0):
@@ -285,9 +424,15 @@ class BatchMPC:
                 Ad, Bd, dd = self._gather_traj(x_k)
                 P, q, A, l, u, _, xfree, G = cspec.assemble(
                     self._condensed_params(Ad, Bd, dd, x0, z_win))
-                Kinv = make_kinv(P, A, self.rho_vec_c)
-                w, y = admm_fixed_kinv(Kinv, q, A, l, u, w0, y0,
-                                       self.rho_vec_c, self.qp_iters)
+                if self.scaling_iters > 0:
+                    P, q, A, l, u, w0, y0, (d_s, e_s, c_s) = equilibrate_qp(
+                        P, q, A, l, u, w0, y0, self.scaling_iters)
+                w, y = admm_staged_kinv(P, q, A, l, u, w0, y0,
+                                        self.rho_vec_c, self.qp_iters,
+                                        self.rho_stages)
+                if self.scaling_iters > 0:
+                    w = d_s * w
+                    y = e_s * y / c_s
                 u_new = w.reshape(self.N, self.n_u)
                 x_new = cspec.recover_x(xfree, G, w)
                 return (x_new, u_new, (w, y)), None
@@ -312,18 +457,23 @@ class BatchMPC:
                 Hd=jnp.zeros((self.N + 1, self.n_z, self.n_x), self.dtype),
                 cd=jnp.zeros((self.N + 1, self.n_z), self.dtype))
             P, q, A, l, u, _ = spec.assemble(params)
+            if self.scaling_iters > 0:
+                P, q, A, l, u, w0, y0, (d_s, e_s, c_s) = equilibrate_qp(
+                    P, q, A, l, u, w0, y0, self.scaling_iters)
             if self.use_pallas:
                 from soft_robot_control_tpu.ops.pallas_admm import admm_fixed_pallas
 
                 w, y = admm_fixed_pallas(P, q, A, l, u, w0, y0, self.rho_vec,
                                          self.qp_iters)
             elif self.x_step == "kinv":
-                Kinv = make_kinv(P, A, self.rho_vec)
-                w, y = admm_fixed_kinv(Kinv, q, A, l, u, w0, y0,
-                                       self.rho_vec, self.qp_iters)
+                w, y = admm_staged_kinv(P, q, A, l, u, w0, y0, self.rho_vec,
+                                        self.qp_iters, self.rho_stages)
             else:
                 w, y = admm_fixed(P, q, A, l, u, w0, y0, self.rho_vec,
                                   self.qp_iters)
+            if self.scaling_iters > 0:
+                w = d_s * w
+                y = e_s * y / c_s
             x_new = w[spec.off_x:spec.off_u].reshape(self.N + 1, self.n_x)
             u_new = w[spec.off_u:spec.off_u + self.N * self.n_u].reshape(
                 self.N, self.n_u)
@@ -344,8 +494,7 @@ class BatchMPC:
         m = self.model
 
         def one(x):
-            i = m.calc_nearest_point(x)  # one argmin, three gathers
-            return m.A_d[i], m.B_d[i], m.d_d[i]
+            return self._select(x, (m.A_d, m.B_d, m.d_d))
 
         return jax.vmap(one)(x_k[:-1])
 
@@ -362,10 +511,8 @@ class BatchMPC:
                            interpret: bool):
         """Batched MPC query over a leading B axis: assembly/K^-1 are
         vmapped, but the ADMM loop runs as ONE grid-batched Pallas launch
-        (ops/pallas_admm.py:admm_batched_pallas) instead of iters x 8
-        HBM-bound batched XLA ops."""
-        from soft_robot_control_tpu.ops.pallas_admm import admm_batched_pallas
-
+        (ops/pallas_admm.py:admm_batched_pallas via admm_staged_pallas)
+        instead of iters x 8 HBM-bound batched XLA ops."""
         m = self.model
         spec = self.spec
         B = x0.shape[0]
@@ -387,11 +534,16 @@ class BatchMPC:
 
                 P, q, A, l, u, _, xfree, G = jax.vmap(assemble_one)(
                     x0, x_k, z_win)
-                Kinv = jax.vmap(
-                    lambda P_, A_: make_kinv(P_, A_, self.rho_vec_c))(P, A)
-                w, y = admm_batched_pallas(Kinv, A, q, l, u, self.rho_vec_c,
-                                           w0, y0, self.qp_iters,
-                                           interpret=interpret)
+                if self.scaling_iters > 0:
+                    P, q, A, l, u, w0, y0, (d_s, e_s, c_s) = jax.vmap(
+                        lambda *a: equilibrate_qp(*a, iters=self.scaling_iters)
+                    )(P, q, A, l, u, w0, y0)
+                w, y = admm_staged_pallas(P, q, A, l, u, w0, y0,
+                                          self.rho_vec_c, self.qp_iters,
+                                          self.rho_stages, interpret)
+                if self.scaling_iters > 0:
+                    w = d_s * w
+                    y = e_s * y / c_s[:, None]
                 u_new = w.reshape(B, self.N, self.n_u)
                 x_new = jax.vmap(cspec.recover_x)(xfree, G, w)
                 return (x_new, u_new, (w, y)), None
@@ -403,9 +555,7 @@ class BatchMPC:
 
         def assemble_one(x0_i, x_k, z_w):
             Ad, Bd, dd = jax.vmap(
-                lambda x: (m.A_d[m.calc_nearest_point(x)],
-                           m.B_d[m.calc_nearest_point(x)],
-                           m.d_d[m.calc_nearest_point(x)]))(x_k[:-1])
+                lambda x: self._select(x, (m.A_d, m.B_d, m.d_d)))(x_k[:-1])
             params = LOCPParams(
                 Ad=Ad, Bd=Bd, dd=dd, x0=x0_i, xk=x_k,
                 delta=jnp.asarray(self.delta0, self.dtype),
@@ -419,10 +569,16 @@ class BatchMPC:
         def scp_iter(carry, _):
             x_k, u_k, (w0, y0) = carry
             P, q, A, l, u, _ = jax.vmap(assemble_one)(x0, x_k, z_win)
-            Kinv = jax.vmap(lambda P_, A_: make_kinv(P_, A_, self.rho_vec))(
-                P, A)
-            w, y = admm_batched_pallas(Kinv, A, q, l, u, self.rho_vec, w0, y0,
-                                       self.qp_iters, interpret=interpret)
+            if self.scaling_iters > 0:
+                P, q, A, l, u, w0, y0, (d_s, e_s, c_s) = jax.vmap(
+                    lambda *a: equilibrate_qp(*a, iters=self.scaling_iters)
+                )(P, q, A, l, u, w0, y0)
+            w, y = admm_staged_pallas(P, q, A, l, u, w0, y0, self.rho_vec,
+                                      self.qp_iters, self.rho_stages,
+                                      interpret)
+            if self.scaling_iters > 0:
+                w = d_s * w
+                y = e_s * y / c_s[:, None]
             x_new = w[:, spec.off_x:spec.off_u].reshape(B, self.N + 1,
                                                         self.n_x)
             u_new = w[:, spec.off_u:spec.off_u + self.N * self.n_u].reshape(
@@ -440,22 +596,28 @@ class BatchMPC:
         dt = self.dt
 
         def plant_step(x, u):
-            i = m.calc_nearest_point(x)
-            return m.A_d[i] @ x + m.B_d[i] @ u + m.d_d[i]
+            A, B, d = self._select(x, (m.A_d, m.B_d, m.d_d))
+            return A @ x + B @ u + d
 
         def tick(carry, k):
             x_p, ekf, x_plan, u_plan, key = carry
             x_bar = x_plan[k]
             u_bar = u_plan[k]
-            i_near = m.calc_nearest_point(x_bar)
-            u = u_bar + self.K_pts[i_near] @ (ekf.x - x_bar)
+            (K_near,) = self._select(x_bar, (self.K_pts,))
+            u = u_bar + K_near @ (ekf.x - x_bar)
+            if self.u_clamp is not None:
+                u = jnp.clip(u, self.u_clamp[0], self.u_clamp[1])
             x_next = plant_step(x_p, u)
             key, sub = jax.random.split(key)
             y = m.C @ x_next + m.y_ref
             if noise_std > 0:
                 y = y + noise_std * jax.random.normal(sub, (self.n_y,),
                                                       dtype=self.dtype)
-            ekf_next = ekf_update(m, ekf, u, y, dt, self.W, self.V)
+            # EKF predict via _select (see build()'s tick for why)
+            A_e, B_e, d_e = self._select(ekf.x, (m.A_d, m.B_d, m.d_d))
+            ekf_next = ekf_correct(
+                m, EKFState(A_e @ ekf.x + B_e @ u + d_e,
+                            A_e @ ekf.Sigma @ A_e.T + self.W), y, self.V)
             z = m.H @ x_next + m.z_ref
             return (x_next, ekf_next, x_plan, u_plan, key), (z, u)
 
@@ -524,16 +686,18 @@ class BatchMPC:
         dt = self.dt
 
         def plant_step(x, u):
-            i = m.calc_nearest_point(x)
-            return m.A_d[i] @ x + m.B_d[i] @ u + m.d_d[i]
+            A, B, d = self._select(x, (m.A_d, m.B_d, m.d_d))
+            return A @ x + B @ u + d
 
         def tick(carry, k):
             x_p, ekf, x_plan, u_plan, key = carry
             # feedback around the plan at in-window step k
             x_bar = x_plan[k]
             u_bar = u_plan[k]
-            i_near = m.calc_nearest_point(x_bar)
-            u = u_bar + self.K_pts[i_near] @ (ekf.x - x_bar)
+            (K_near,) = self._select(x_bar, (self.K_pts,))
+            u = u_bar + K_near @ (ekf.x - x_bar)
+            if self.u_clamp is not None:
+                u = jnp.clip(u, self.u_clamp[0], self.u_clamp[1])
             # plant step + measurement
             x_next = plant_step(x_p, u)
             key, sub = jax.random.split(key)
@@ -541,7 +705,12 @@ class BatchMPC:
             if noise_std > 0:
                 y = y + noise_std * jax.random.normal(sub, (self.n_y,),
                                                       dtype=self.dtype)
-            ekf_next = ekf_update(m, ekf, u, y, dt, self.W, self.V)
+            # EKF predict via _select (ekf_predict's model.get_jacobians
+            # would only see the local shard in mp mode), then correct
+            A_e, B_e, d_e = self._select(ekf.x, (m.A_d, m.B_d, m.d_d))
+            ekf_next = ekf_correct(
+                m, EKFState(A_e @ ekf.x + B_e @ u + d_e,
+                            A_e @ ekf.Sigma @ A_e.T + self.W), y, self.V)
             z = m.H @ x_next + m.z_ref
             return (x_next, ekf_next, x_plan, u_plan, key), (z, u)
 

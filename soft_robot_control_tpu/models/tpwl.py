@@ -349,7 +349,88 @@ def _rollout_batch_matmul(model: TPWLModel, x0, u, dt: float):
     return jnp.concatenate([x0[:, None], jnp.swapaxes(Xs, 0, 1)], axis=1)
 
 
-def rollout_batch(model: TPWLModel, x0, u, dt, select: str = "auto"):
+def _batch_distances(model: TPWLModel, X):
+    """Fused (B, P) weighted point distances: two (B, r) x (r, P) matmuls
+    per step instead of a (B, P, r) broadcast (see _rollout_batch_matmul)."""
+    hp = jax.lax.Precision.HIGHEST
+    qp, vp = model.q, model.v
+    wq = jnp.asarray(model.dist_w_q, X.dtype)
+    wv = jnp.asarray(model.dist_w_v, X.dtype)
+    qn = jnp.sum(qp * qp, axis=1)[None]
+    vn = jnp.sum(vp * vp, axis=1)[None]
+    q, v = x2qv(X)
+    dq2 = jnp.maximum(jnp.sum(q * q, axis=1)[:, None]
+                      - 2.0 * jnp.matmul(q, qp.T, precision=hp) + qn, 0.0)
+    dv2 = jnp.maximum(jnp.sum(v * v, axis=1)[:, None]
+                      - 2.0 * jnp.matmul(v, vp.T, precision=hp) + vn, 0.0)
+    return wq * jnp.sqrt(dq2) + wv * jnp.sqrt(dv2)
+
+
+@partial(jax.jit, static_argnames=("dt",))
+def _rollout_batch_weighting(model: TPWLModel, x0, u, dt: float):
+    """Batched exponential-weighting rollout (reference simulation mode
+    tpwl.py:170-191,219-234): per step, weights w_i = exp(-beta d_i/d_min)
+    normalized over the dictionary, weighted-average the CONTINUOUS
+    matrices, then discretize the blend — the same semantics as
+    get_jacobians(tpwl_method='weighting') per sample, but the weight
+    computation is the fused matmul-distance reduction and the dictionary
+    blend is a (B, P) x (P, n^2) MXU contraction instead of P broadcasts."""
+    P = model.num_points
+    n = model.state_dim
+    m = model.input_dim
+    hp = jax.lax.Precision.HIGHEST
+    Af = model.A_c.reshape(P, n * n)
+    Bf = model.B_c.reshape(P, n * m)
+    beta = jnp.asarray(model.beta, x0.dtype)
+
+    def step(X, u_t):
+        dist = _batch_distances(model, X)                       # (B, P)
+        dmin = jnp.min(dist, axis=1, keepdims=True)
+        safe = jnp.where(dmin == 0, 1.0, dmin)
+        w = jnp.exp(-beta * dist / safe)
+        w = w / jnp.sum(w, axis=1, keepdims=True)
+        # exact-hit tie-break: weight 1 on the first zero-distance point
+        idx = jnp.argmin(dist, axis=1)
+        one_hot = jax.nn.one_hot(idx, P, dtype=w.dtype)
+        w = jnp.where(dmin == 0, one_hot, w)
+        A = jnp.matmul(w, Af, precision=hp).reshape(-1, n, n)
+        Bm = jnp.matmul(w, Bf, precision=hp).reshape(-1, n, m)
+        d = jnp.matmul(w, model.d_c, precision=hp)
+        Ad, Bd, dd = jax.vmap(
+            lambda a, b, c: disc.discretize_affine(
+                a, b, c, dt, method=model.discr_method))(A, Bm, d)
+        Xn = (jnp.einsum("bij,bj->bi", Ad, X, precision=hp)
+              + jnp.einsum("bij,bj->bi", Bd, u_t, precision=hp) + dd)
+        return Xn, Xn
+
+    _, Xs = jax.lax.scan(step, x0, jnp.swapaxes(u, 0, 1))
+    return jnp.concatenate([x0[:, None], jnp.swapaxes(Xs, 0, 1)], axis=1)
+
+
+@partial(jax.jit, static_argnames=("dt", "wq", "wv", "interpret"))
+def _rollout_batch_pallas(model: TPWLModel, x0, u, dt: float,
+                          wq: float, wv: float, interpret: bool = False):
+    """Batched rollout with the fused Pallas selection+gather kernel
+    (ops/pallas_tpwl.py): distances, argmin and the dictionary fetch run in
+    one VMEM-resident kernel per step; the gather is a one-hot MXU matmul."""
+    from soft_robot_control_tpu.ops.pallas_tpwl import tpwl_gather_pallas
+
+    hp = jax.lax.Precision.HIGHEST
+
+    def step(X, u_t):
+        A, B, d = tpwl_gather_pallas(
+            X, model.q, model.v, model.A_d, model.B_d, model.d_d,
+            wq, wv, interpret=interpret)
+        Xn = (jnp.einsum("bij,bj->bi", A, X, precision=hp)
+              + jnp.einsum("bij,bj->bi", B, u_t, precision=hp) + d)
+        return Xn, Xn
+
+    _, Xs = jax.lax.scan(step, x0, jnp.swapaxes(u, 0, 1))
+    return jnp.concatenate([x0[:, None], jnp.swapaxes(Xs, 0, 1)], axis=1)
+
+
+def rollout_batch(model: TPWLModel, x0, u, dt, select: str = "auto",
+                  interpret: bool = False):
     """vmapped rollout over a batch of initial conditions and input plans.
 
     x0: (B, n_x); u: (B, N, n_u). Returns (B, N+1, n_x).
@@ -358,17 +439,32 @@ def rollout_batch(model: TPWLModel, x0, u, dt, select: str = "auto"):
     select: 'exact' = per-sample scans with direct-difference distances;
     'matmul' = batch-fused matmul distances (faster at large B x P; argmin
     ties among near-duplicate dictionary points may resolve differently
-    within fp noise); 'auto' picks 'matmul' for B >= 32 nn-cached models.
+    within fp noise); 'pallas' = fused VMEM selection+one-hot-MXU-gather
+    kernel (ops/pallas_tpwl.py); 'weighting' = exponential-weighting
+    simulation mode (auto-selected when model.tpwl_method == 'weighting');
+    'auto' picks 'matmul' for B >= 32 nn-cached models.
     """
     use_cache = (model.pre_discretized_dt is not None
                  and model.tpwl_method == "nn"
                  and float(dt) == model.pre_discretized_dt)
     if select == "auto":
-        select = "matmul" if (use_cache and x0.shape[0] >= 32) else "exact"
-    if select == "matmul":
+        if model.tpwl_method == "weighting":
+            select = "weighting"
+        else:
+            select = "matmul" if (use_cache and x0.shape[0] >= 32) else "exact"
+    if select == "weighting":
+        if model.beta is None:
+            raise ValueError("weighting mode needs beta (params"
+                             "['beta_weighting'], tpwl.py:170-191)")
+        return _rollout_batch_weighting(model, x0, u, float(dt))
+    if select in ("matmul", "pallas"):
         if not use_cache:
-            raise ValueError("select='matmul' needs the pre-discretized "
+            raise ValueError(f"select='{select}' needs the pre-discretized "
                              "nn cache at this dt")
+        if select == "pallas":
+            return _rollout_batch_pallas(model, x0, u, float(dt),
+                                         float(model.dist_w_q),
+                                         float(model.dist_w_v), interpret)
         return _rollout_batch_matmul(model, x0, u, float(dt))
     fn = jax.vmap(lambda a, b: _rollout_impl(model, a, b, float(dt), use_cache))
     return fn(x0, u)

@@ -138,6 +138,62 @@ def sharded_batch_mpc_fused(mpc, n_windows: int, mesh: Mesh,
     return jax.jit(fn)
 
 
+def sharded_batch_mpc_fused_mp(mpc, n_windows: int, mesh: Mesh,
+                               noise_std: float = 0.0, interpret=None):
+    """Batch-fused closed-loop MPC with the batch on 'dp' AND the TPWL
+    dictionary (+ per-point DARE gains) sharded over 'mp'.
+
+    Each (dp, mp) device holds its batch shard and P/mp dictionary points;
+    every nearest-point fetch (trajectory relinearization, plant step, EKF
+    predict, feedback-gain lookup) runs as a distributed argmin + owner
+    psum over 'mp' (BatchMPC._select). The QP solves are replicated across
+    'mp' — the axis exists for HBM capacity (hundreds of (2r)^2 matrices at
+    campaign scale), not FLOPs, and replicating the latency-bound ADMM
+    avoids a second collective per iteration.
+
+    Returns run(x0 (B,n_x), ekf_x0, z_target (B,n_win,N+1,n_z), keys (B,2))
+    with B divisible by dp. Identical results to mpc.build_fused locally
+    (up to argmin tie-breaks among exactly-equidistant points).
+    """
+    import copy
+
+    mp = mesh.shape["mp"]
+    model_p, valid = _pad_points(mpc.model, mp)
+    K_pts = mpc.K_pts
+    pad = model_p.num_points - mpc.model.num_points
+    if pad:
+        K_pts = jnp.concatenate([K_pts, jnp.repeat(K_pts[-1:], pad, axis=0)],
+                                axis=0)
+
+    def local_fn(q_s, v_s, u_s, Ac_s, Bc_s, dc_s, Ad_s, Bd_s, dd_s, valid_s,
+                 K_s, x0_s, e0_s, zt_s, keys_s):
+        mpc_l = copy.copy(mpc)
+        mpc_l.model = mpc.model._replace(
+            q=q_s, v=v_s, u=u_s, A_c=Ac_s, B_c=Bc_s, d_c=dc_s,
+            A_d=Ad_s, B_d=Bd_s, d_d=dd_s)
+        mpc_l.K_pts = K_s
+        mpc_l._mp_axis = "mp"
+        mpc_l._mp_valid = valid_s
+        run_local = mpc_l.build_fused(n_windows, noise_std=noise_std,
+                                      interpret=interpret)
+        return run_local(x0_s, e0_s, zt_s, keys_s)
+
+    pm = P("mp")
+    pd = P("dp")
+    fn = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(pm, pm, pm, pm, pm, pm, pm, pm, pm, pm, pm,
+                  pd, pd, pd, pd),
+        out_specs=pd, check_vma=False)
+
+    def run(x0, e0, zt, keys):
+        return fn(model_p.q, model_p.v, model_p.u, model_p.A_c, model_p.B_c,
+                  model_p.d_c, model_p.A_d, model_p.B_d, model_p.d_d, valid,
+                  K_pts, x0, e0, zt, keys)
+
+    return jax.jit(run)
+
+
 def replicate(tree, mesh: Mesh):
     """Place a pytree fully replicated on the mesh."""
     sharding = NamedSharding(mesh, P())

@@ -245,3 +245,49 @@ def test_rollout_batch_matmul_matches_exact():
     Xa = np.asarray(rollout_batch(model, x0, u, 0.02, select="exact"))
     Xb = np.asarray(rollout_batch(model, x0, u, 0.02, select="matmul"))
     np.testing.assert_allclose(Xb, Xa, rtol=1e-8, atol=1e-9)
+
+
+def test_rollout_batch_pallas_matches_matmul():
+    """The fused Pallas selection+gather rollout (interpret mode on CPU)
+    reproduces the matmul-distance path."""
+    from soft_robot_control_tpu.tasks.demo import make_demo_tpwl
+
+    model = make_demo_tpwl(r=8, P=40, m=3, nz=2, nf=16,
+                           dtype=np.float32).pre_discretize(0.02)
+    rng = np.random.default_rng(1)
+    x0 = jnp.asarray(0.1 * rng.normal(size=(16, model.state_dim)),
+                     jnp.float32)
+    u = jnp.asarray(np.abs(rng.normal(size=(16, 20, 3))), jnp.float32)
+    Xa = np.asarray(rollout_batch(model, x0, u, 0.02, select="matmul"))
+    Xb = np.asarray(rollout_batch(model, x0, u, 0.02, select="pallas",
+                                  interpret=True))
+    np.testing.assert_allclose(Xb, Xa, rtol=2e-5, atol=2e-5)
+
+
+def test_rollout_batch_weighting_matches_per_sample():
+    """The batched exponential-weighting rollout matches vmapped per-sample
+    get_jacobians(weighting) stepping (reference tpwl.py:170-191,219-234
+    semantics) and auto-selects for weighting-mode models."""
+    model = _random_tpwl(P=8, r=4, m=2, seed=5, beta=3.0,
+                         tpwl_method="weighting")
+    model = model._replace(discr_method="be")
+    dt = 0.02
+    rng = np.random.default_rng(2)
+    B, T = 8, 15
+    x0 = jnp.asarray(0.2 * rng.normal(size=(B, model.state_dim)))
+    u = jnp.asarray(rng.normal(size=(B, T, 2)))
+
+    def step_one(x, u_t):
+        A, Bm, d = model.get_jacobians(x, dt=dt)
+        xn = A @ x + Bm @ u_t + d
+        return xn, xn
+
+    def roll_one(x0_, u_):
+        _, xs = jax.lax.scan(step_one, x0_, u_)
+        return jnp.concatenate([x0_[None], xs], axis=0)
+
+    Xref = np.asarray(jax.vmap(roll_one)(x0, u))
+    Xb = np.asarray(rollout_batch(model, x0, u, dt, select="weighting"))
+    np.testing.assert_allclose(Xb, Xref, rtol=1e-8, atol=1e-9)
+    Xauto = np.asarray(rollout_batch(model, x0, u, dt))
+    np.testing.assert_allclose(Xauto, Xref, rtol=1e-8, atol=1e-9)
