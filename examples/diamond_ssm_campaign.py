@@ -250,9 +250,14 @@ def main():
     U = HyperRectangle(robot.u_max * np.ones(4), np.zeros(4))
 
     x0r = np.zeros(model.state_dim)
+    # real-time TPU configuration (same as diamond_tet_campaign.py): one
+    # LOCP per query, condensed backend, trust region off — the sparse
+    # LOCP's shared-slack TR epigraph stalls f32 ADMM on TPU (the reference
+    # hands those QPs to GUROBI, diamond.py:316)
     service = GuSTOService(gm, N=3, dt=dt_c, Qz=Qz, R=R, x0=x0r,
                            t=t_target, z=z_target, U=U, verbose=0,
-                           max_gusto_iters=0, convg_thresh=1e-3)
+                           max_gusto_iters=0, convg_thresh=1e-3,
+                           locp_backend="condensed", is_tr_active=False)
     controller = scp_ssm(model, None, dt_c, N_replan=2, delay=1.0,
                          wait=True, solver_service=service)
 

@@ -42,6 +42,11 @@ def main():
     ap.add_argument("--t-step", type=float, default=0.25)
     ap.add_argument("--threshold", type=float, default=40.0,
                     help="TPWL distance threshold (reduced weighted units)")
+    ap.add_argument("--eval-type", default="distance",
+                    choices=["distance", "dynamics"],
+                    help="dictionary point-selection criterion; 'dynamics' "
+                    "adds points on one-step prediction error "
+                    "(tpwl_utils.py:199-260)")
     ap.add_argument("--pod-tol", type=float, default=5e-5)
     ap.add_argument("--rom-dim", type=int, default=30,
                     help="explicit POD dimension; the energy tolerance "
@@ -99,7 +104,8 @@ def main():
     model = recipes.collect_tpwl_data(robot, d, threshold=args.threshold,
                                       nbr_samples=args.tpwl_samples,
                                       t_step=args.t_step,
-                                      dynamics="discrete")
+                                      dynamics="discrete",
+                                      eval_type=args.eval_type)
     print(f"[{time.time()-t0:6.1f}s] TPWL dictionary: P = {model.num_points} "
           f"(discrete, dt={robot.dt})", flush=True)
 

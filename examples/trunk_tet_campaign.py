@@ -1,0 +1,177 @@
+"""Full-scale Trunk TPWL campaign on the shipped reference mesh.
+
+The reference's Trunk pipeline (/root/reference/examples/trunk/trunk.py:154-325)
+at TRUE reference dimensions — 709 nodes / 4254-dim state over trunk.vtk, 8
+cables — with SOFA replaced by the in-repo tet-FEM plant:
+
+  1. collect_POD_data   : LHS excitation -> snapshots    (trunk.py:76-127)
+  2. compute_POD_basis  : SVD                            (trunk.py:130-151)
+  3. collect_TPWL_data  : discrete-dictionary TPWL       (trunk.py:154-211)
+  4. TPWL_rollout       : held-out fidelity check
+  5. run_scp            : GuSTO MPC figure-8 ("infinity sign") tracking
+     (trunk.py:213-325): z_x = -10 sin th, z_y = 10 sin 2th around the
+     post-gravity rest tip, Qz=diag(100,100,0), R=1e-5 I, U=[0,800]^8.
+  6. run_ilqr           : iLQR tracking of the same target (trunk.py:327-
+     380; BASELINE config 2 at reference scale).
+
+Platform: the trunk plant's stiffness contrast (~1e7) needs float64 — runs
+on CPU by default (see sim/fem_tet.py precision notes). Pass --platform tpu
+to attempt f32-on-TPU once the mixed-precision step lands.
+
+    python examples/trunk_tet_campaign.py --out examples/trunk_tet
+    python examples/trunk_tet_campaign.py --quick
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default="cpu",
+                    help="cpu (default, float64) or tpu (float32)")
+    ap.add_argument("--out", default=os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "trunk_tet"))
+    ap.add_argument("--samples", type=int, default=24,
+                    help="LHS samples for POD data")
+    ap.add_argument("--tpwl-samples", type=int, default=24)
+    ap.add_argument("--t-step", type=float, default=0.25)
+    ap.add_argument("--threshold", type=float, default=30.0)
+    ap.add_argument("--rom-dim", type=int, default=24)
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--skip-mpc", action="store_true")
+    ap.add_argument("--skip-ilqr", action="store_true")
+    ap.add_argument("--sim-duration", type=float, default=11.0)
+    args = ap.parse_args()
+
+    import jax
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+        dtype = "float64"
+    else:
+        dtype = "float32"
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(os.path.dirname(
+                              os.path.abspath(__file__))), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import numpy as np
+    from soft_robot_control_tpu.robots.robots import TrunkTetRobot
+    from soft_robot_control_tpu.tasks import recipes
+
+    if args.quick:
+        args.samples = 6
+        args.tpwl_samples = 6
+        args.sim_duration = 3.0
+
+    np_dtype = np.float64 if dtype == "float64" else np.float32
+    t0 = time.time()
+    robot = TrunkTetRobot(dtype=np_dtype)
+    print(f"[{time.time()-t0:6.1f}s] Trunk tet plant: "
+          f"{robot.plant.n_nodes} nodes, state dim {robot.plant.state_dim}, "
+          f"{robot.plant.input_dim} cables; devices={jax.devices()}",
+          flush=True)
+
+    d = args.out
+    os.makedirs(d, exist_ok=True)
+    summary = {"platform": dtype}
+
+    snap = recipes.collect_pod_data(robot, d, nbr_samples=args.samples,
+                                    t_step=args.t_step)
+    print(f"[{time.time()-t0:6.1f}s] POD data: {len(snap['q'])} snapshots",
+          flush=True)
+
+    res = recipes.compute_pod_basis(d, pod_tolerance=5e-5, pod_type="a",
+                                    rom_dim=args.rom_dim)
+    r = res["POD_info"]["U"].shape[1]
+    print(f"[{time.time()-t0:6.1f}s] POD basis: r = {r}", flush=True)
+    summary["rom_dim"] = int(r)
+
+    model = recipes.collect_tpwl_data(robot, d, threshold=args.threshold,
+                                      nbr_samples=args.tpwl_samples,
+                                      t_step=args.t_step,
+                                      dynamics="discrete")
+    print(f"[{time.time()-t0:6.1f}s] TPWL dictionary: P = {model.num_points}",
+          flush=True)
+    summary["tpwl_points"] = int(model.num_points)
+
+    chk = recipes.tpwl_rollout_check(robot, d, nbr_samples=6, seed=333,
+                                     t_step=args.t_step)
+    print(f"[{time.time()-t0:6.1f}s] held-out rollout: MSE {chk['mse']:.4g}, "
+          f"rel err {chk['rel_err']:.4f}", flush=True)
+    summary["heldout_rel_err"] = float(chk["rel_err"])
+
+    # figure-8 "infinity sign" target around the post-gravity rest tip
+    # (trunk.py:299-303: -10 sin th / 10 sin 2th, period 10 s)
+    Hf = robot.get_output_model()          # node-51 position (3,)
+    z_eq = Hf @ np.asarray(robot.plant.x_rest())
+    T_target = args.sim_duration + 4.0
+    npts = 1000
+    tt = np.linspace(0, T_target, npts)
+    th = 2 * np.pi * tt / 10.0
+    z_target = np.tile(z_eq, (npts, 1))
+    z_target[:, 0] += -10.0 * np.sin(th)
+    z_target[:, 1] += 10.0 * np.sin(2 * th)
+    Qz = np.diag([100.0, 100.0, 0.0])
+    R = 1e-5 * np.eye(8)
+    from soft_robot_control_tpu.core.constraints import HyperRectangle
+    U = HyperRectangle(800.0 * np.ones(8), np.zeros(8))
+
+    import jax.numpy as jnp
+    jdtype = jnp.float64 if dtype == "float64" else jnp.float32
+
+    if not args.skip_mpc:
+        # solver at the dictionary-native dt with one LOCP per query — the
+        # real-time configuration the diamond campaign validated (see
+        # diamond_tet_campaign.py notes on the TR epigraph at this scale)
+        sim = recipes.run_scp(robot, d, tt, z_target, dt_solver=robot.dt,
+                              N=10, N_replan=2, Qz=Qz, R=R,
+                              sim_duration=args.sim_duration, delay=1.0,
+                              U=U, save_prefix="scp_fig8",
+                              max_gusto_iters=0, is_tr_active=False,
+                              locp_backend="condensed", dtype=jdtype)
+        z = np.asarray(sim["z"])
+        t = np.asarray(sim["t"])
+        zt = np.stack([np.interp(t, tt, z_target[:, j]) for j in range(3)],
+                      axis=1)
+        act = t >= 1.0
+        rmse = float(np.sqrt(np.mean(np.sum(
+            (z[act][:, :2] - zt[act][:, :2]) ** 2, axis=1))))
+        print(f"[{time.time()-t0:6.1f}s] GuSTO MPC figure-8: tracking RMSE "
+              f"{rmse:.3f} mm", flush=True)
+        summary["scp_rmse_mm"] = rmse
+        st = np.asarray(sim.get("info", {}).get("solve_times", []))
+        if st.size:
+            summary["scp_solve_ms_mean"] = float(st.mean() * 1e3)
+
+    if not args.skip_ilqr:
+        # BASELINE config 2: Trunk iLQR on the TPWL ROM (trunk.py:327-380)
+        sim = recipes.run_ilqr(robot, d, tt, z_target, Qz=Qz,
+                               R=1e-4 * np.eye(8),
+                               sim_duration=args.sim_duration, delay=1.0,
+                               tf=args.sim_duration, save_prefix="ilqr_fig8")
+        z = np.asarray(sim["z"])
+        t = np.asarray(sim["t"])
+        zt = np.stack([np.interp(t, tt, z_target[:, j]) for j in range(3)],
+                      axis=1)
+        act = t >= 1.0
+        rmse = float(np.sqrt(np.mean(np.sum(
+            (z[act][:, :2] - zt[act][:, :2]) ** 2, axis=1))))
+        print(f"[{time.time()-t0:6.1f}s] iLQR figure-8: tracking RMSE "
+              f"{rmse:.3f} mm", flush=True)
+        summary["ilqr_rmse_mm"] = rmse
+
+    with open(os.path.join(d, "trunk_tpwl_campaign.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(f"[{time.time()-t0:6.1f}s] saved trunk_tpwl_campaign.json",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

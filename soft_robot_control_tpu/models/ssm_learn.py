@@ -22,19 +22,22 @@ Method (graph-style SSMLearn, polynomial regression formulation):
 6. input matrices B / Bd from actuated trajectories by regressing the decay
    -dynamics residual on u.
 
-TPU-first: every fit is one batched least-squares on device (normal
-equations with Jacobi-scaled ridge, MXU matmuls); trajectory differentiation
-and lifting are vmapped; no symbolic code (static exponent tables).
+Precision policy: the fit runs entirely in HOST numpy float64. The
+regressions are tiny (thousands of samples x ~100 monomial features) but
+ill-conditioned — normal equations on cubic monomial features lose ~2x the
+feature condition number in digits, and on a float32-only device (TPU) every
+ridge candidate comes out unstable (observed in the Diamond campaign: the
+same data fits fine in f64). Fitting costs milliseconds on host; *inference*
+(models/ssm.py) stays jitted on device.
 """
 
 from __future__ import annotations
 
-import jax
-import jax.numpy as jnp
 import numpy as np
+import scipy.linalg
 
 from soft_robot_control_tpu.models.ssm import SSMModel
-from soft_robot_control_tpu.ops.monomials import eval_monomials, monomial_exponents
+from soft_robot_control_tpu.ops.monomials import monomial_exponents
 
 
 # ---------------------------------------------------------------------------
@@ -46,32 +49,40 @@ def delay_embed(y, n_delay: int):
     Row t holds [y_t, y_{t-1}, ..., y_{t-n_delay}] — newest first, matching
     the reference's assembly of the delay-embedded observable used for the
     Diamond SSM (6 = 3 positions x 2 embeddings)."""
-    y = jnp.asarray(y)
+    y = np.asarray(y, np.float64)
     if n_delay == 0:
         return y
     T = y.shape[0]
     cols = [y[n_delay - d:T - d] for d in range(n_delay + 1)]
-    return jnp.concatenate(cols, axis=1)
+    return np.concatenate(cols, axis=1)
 
 
 def differentiate(x, dt: float):
     """4th-order central finite differences along axis 0 (2nd-order one-sided
     at the edges): the derivative estimate SSMLearn feeds its dynamics fit.
     x: (T, n) -> (T, n)."""
-    x = jnp.asarray(x)
+    x = np.asarray(x, np.float64)
     T = x.shape[0]
     if T < 5:
-        return jnp.gradient(x, dt, axis=0)
+        return np.gradient(x, dt, axis=0)
     interior = (x[:-4] - 8.0 * x[1:-3] + 8.0 * x[3:-1] - x[4:]) / (12.0 * dt)
-    first = jnp.stack([
+    first = np.stack([
         (-3.0 * x[0] + 4.0 * x[1] - x[2]) / (2.0 * dt),
         (x[2] - x[0]) / (2.0 * dt),
     ])
-    last = jnp.stack([
+    last = np.stack([
         (x[-1] - x[-3]) / (2.0 * dt),
         (3.0 * x[-1] - 4.0 * x[-2] + x[-3]) / (2.0 * dt),
     ])
-    return jnp.concatenate([first, interior, last], axis=0)
+    return np.concatenate([first, interior, last], axis=0)
+
+
+def _phi(x, exps):
+    """Numpy monomial evaluation: x (..., dim) -> (..., n_mono), f64."""
+    x = np.asarray(x, np.float64)
+    e = np.asarray(exps, np.float64)
+    pw = np.where(e > 0, x[..., None, :] ** e, 1.0)
+    return np.prod(pw, axis=-1)
 
 
 def _ridge_fit(Phi, Y, lam: float):
@@ -79,12 +90,14 @@ def _ridge_fit(Phi, Y, lam: float):
 
     Phi: (n_feat, n_samp); Y: (n_out, n_samp). The ridge is Jacobi-scaled
     (S = diag row norms of Phi) so one lam works across monomial degrees."""
-    G = jnp.matmul(Phi, Phi.T, precision=jax.lax.Precision.HIGHEST)
-    s = jnp.diagonal(G)
-    reg = lam * jnp.where(s > 0, s, 1.0)
-    Gr = G + jnp.diag(reg)
-    RHS = jnp.matmul(Phi, Y.T, precision=jax.lax.Precision.HIGHEST)
-    return jax.scipy.linalg.solve(Gr, RHS, assume_a="pos").T
+    Phi = np.asarray(Phi, np.float64)
+    Y = np.asarray(Y, np.float64)
+    G = Phi @ Phi.T
+    s = np.diagonal(G)
+    reg = lam * np.where(s > 0, s, 1.0)
+    Gr = G + np.diag(reg)
+    RHS = Phi @ Y.T
+    return scipy.linalg.solve(Gr, RHS, assume_a="pos").T
 
 
 # ---------------------------------------------------------------------------
@@ -123,30 +136,26 @@ def learn_ssm(decay_trajs, dt: float, state_dim: int, SSM_order: int = 3,
     Returns an SSMModel carrying both continuous (r_coeff, B_r) and discrete
     (rd_coeff, Bd_r, Ts=dt) dynamics.
     """
-    embed = lambda tr: np.asarray(delay_embed(jnp.asarray(tr, jnp.float64),
-                                              n_delay))
-    Ys = [embed(tr) for tr in decay_trajs]
+    Ys = [delay_embed(tr, n_delay) for tr in decay_trajs]
     n_obs = Ys[0].shape[1]
 
     if z_ref is None:
         z_ref = np.mean([y[-1] for y in Ys], axis=0)
-    z_ref = np.asarray(z_ref, float).reshape(-1)
+    z_ref = np.asarray(z_ref, np.float64).reshape(-1)
     Ys = [y - z_ref[None, :] for y in Ys]
 
     # 1. spectral subspace: dominant left singular vectors of all snapshots
-    snaps = jnp.asarray(np.concatenate(Ys, axis=0).T)  # (n_obs, n_samp)
-    V, _, _ = jnp.linalg.svd(snaps, full_matrices=False)
+    snaps = np.concatenate(Ys, axis=0).T               # (n_obs, n_samp)
+    V, _, _ = np.linalg.svd(snaps, full_matrices=False)
     V = V[:, :state_dim]                               # (n_obs, state_dim)
 
     # 2. reduced coordinates of every decay sample
-    Xs = [jnp.asarray(y) @ V for y in Ys]              # each (T_i, state_dim)
-    X_all = jnp.concatenate(Xs, axis=0)                # (n_samp, state_dim)
-    Y_all = jnp.concatenate([jnp.asarray(y) for y in Ys], axis=0)
+    Xs = [y @ V for y in Ys]                           # each (T_i, state_dim)
+    X_all = np.concatenate(Xs, axis=0)                 # (n_samp, state_dim)
+    Y_all = np.concatenate(Ys, axis=0)
 
     ssm_exps = monomial_exponents(n_obs, SSM_order)
     rom_exps = monomial_exponents(state_dim, ROM_order)
-    lift_ssm = jax.jit(lambda pts: eval_monomials(pts, ssm_exps))
-    lift_rom = jax.jit(lambda pts: eval_monomials(pts, rom_exps))
 
     # 3. parametrization y ~ w_coeff phi(x); 4. chart x ~ v_coeff phi(y).
     # models/ssm.py evaluates both with the output_dim exponent table, which
@@ -161,45 +170,47 @@ def learn_ssm(decay_trajs, dt: float, state_dim: int, SSM_order: int = 3,
     lam_list = (list(ridge) if np.ndim(ridge) > 0 else [float(ridge)])
     lam_geo = float(np.exp(np.mean(np.log(lam_list))))
 
-    Phi_x = lift_ssm(X_all).T                          # (n_feat, n_samp)
+    Phi_x = _phi(X_all, ssm_exps).T                    # (n_feat, n_samp)
     w_coeff = _ridge_fit(Phi_x, Y_all.T, lam_geo)
-    Phi_y = lift_ssm(Y_all).T
+    Phi_y = _phi(Y_all, ssm_exps).T
     v_coeff = _ridge_fit(Phi_y, X_all.T, lam_geo)
 
     # 5. reduced dynamics, with optional holdout selection of the ridge
     # weight (see the `ridge` docstring)
     def fit_dynamics(trajs, lam):
-        Xa = jnp.concatenate(trajs, axis=0)
-        Xd = jnp.concatenate([differentiate(x, dt) for x in trajs], axis=0)
-        r = _ridge_fit(lift_rom(Xa).T, Xd.T, lam)       # xdot ~ R phi(x)
-        X0 = jnp.concatenate([x[:-1] for x in trajs], axis=0)
-        X1 = jnp.concatenate([x[1:] for x in trajs], axis=0)
-        rd = _ridge_fit(lift_rom(X0).T, X1.T, lam)      # x+ ~ Rd phi(x)
+        Xa = np.concatenate(trajs, axis=0)
+        Xd = np.concatenate([differentiate(x, dt) for x in trajs], axis=0)
+        r = _ridge_fit(_phi(Xa, rom_exps).T, Xd.T, lam)  # xdot ~ R phi(x)
+        X0 = np.concatenate([x[:-1] for x in trajs], axis=0)
+        X1 = np.concatenate([x[1:] for x in trajs], axis=0)
+        rd = _ridge_fit(_phi(X0, rom_exps).T, X1.T, lam)  # x+ ~ Rd phi(x)
         return r, rd
 
     def rollout_err(r, rd, trajs):
         """Multi-step prediction error on held-out reduced trajectories:
-        discrete map iteration + RK4 of the continuous field (both as
-        scans). Unstable fits go non-finite and are rejected."""
+        discrete map iteration + RK4 of the continuous field. Unstable fits
+        go non-finite (numpy errstate-silenced overflow) and are rejected."""
         def one(traj):
             # validate over (nearly) the full decay: instabilities often
             # only blow up beyond the first ~100 steps
             K = min(500, traj.shape[0] - 1)
-            def stepd(x, _):
-                x1 = rd @ eval_monomials(x, rom_exps)
-                return x1, x1
-            _, xs_d = jax.lax.scan(stepd, traj[0], None, length=K)
-            f = lambda x: r @ eval_monomials(x, rom_exps)
-            def stepc(x, _):
-                k1 = f(x); k2 = f(x + 0.5 * dt * k1)
-                k3 = f(x + 0.5 * dt * k2); k4 = f(x + dt * k3)
-                x1 = x + dt / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
-                return x1, x1
-            _, xs_c = jax.lax.scan(stepc, traj[0], None, length=K)
-            ref = traj[1:K + 1]
-            return jnp.mean((xs_d - ref) ** 2) + jnp.mean((xs_c - ref) ** 2)
+            f = lambda x: r @ _phi(x, rom_exps)
+            xd = traj[0].copy()
+            xc = traj[0].copy()
+            err = 0.0
+            with np.errstate(over="ignore", invalid="ignore"):
+                for k in range(K):
+                    xd = rd @ _phi(xd, rom_exps)
+                    k1 = f(xc); k2 = f(xc + 0.5 * dt * k1)
+                    k3 = f(xc + 0.5 * dt * k2); k4 = f(xc + dt * k3)
+                    xc = xc + dt / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
+                    ref = traj[k + 1]
+                    err += np.mean((xd - ref) ** 2) + np.mean((xc - ref) ** 2)
+                    if not (np.all(np.isfinite(xd)) and np.all(np.isfinite(xc))):
+                        return np.inf
+            return err / K
         errs = [one(tr) for tr in trajs]
-        e = float(jnp.mean(jnp.stack(errs)))
+        e = float(np.mean(errs))
         return e if np.isfinite(e) else np.inf
 
     lam_dyn = lam_list[0]
@@ -236,62 +247,62 @@ def learn_ssm(decay_trajs, dt: float, state_dim: int, SSM_order: int = 3,
             input_trajs), "actuated_trajs and input_trajs must pair up"
         Xu, Us = [], []
         for tr, u in zip(actuated_trajs, input_trajs):
-            ye = embed(tr) - z_ref[None, :]
-            xu = jnp.asarray(ye) @ V
-            Xu.append(xu)
+            ye = delay_embed(tr, n_delay) - z_ref[None, :]
+            Xu.append(ye @ V)
             # delay embedding drops the first n_delay samples of y; align u
-            Us.append(jnp.asarray(np.asarray(u, float)[n_delay:]))
+            Us.append(np.asarray(u, np.float64)[n_delay:])
         m_in = int(Us[0].shape[1])
-        # continuous: (xdot - R phi(x)) ~ B u
-        resid_c, resid_d, U_c, U_d = [], [], [], []
-        for xu, u in zip(Xu, Us):
-            xd = differentiate(xu, dt)
-            resid_c.append(xd - (r_coeff @ lift_rom(xu).T).T)
-            U_c.append(u[:xu.shape[0]])
-            resid_d.append(xu[1:] - (rd_coeff @ lift_rom(xu[:-1]).T).T)
-            U_d.append(u[:xu.shape[0] - 1])
-        Rc = jnp.concatenate(resid_c, axis=0)
-        Uc = jnp.concatenate(U_c, axis=0)
-        Rd_ = jnp.concatenate(resid_d, axis=0)
-        Ud = jnp.concatenate(U_d, axis=0)
         if joint_fit:
             n_feat = rom_exps.shape[0]
             # continuous: [xdot_decay; xdot_act] ~ [phi, u] [R; B]'
-            Xa_dec = jnp.concatenate(Xs, axis=0)
-            Xd_dec = jnp.concatenate([differentiate(x, dt) for x in Xs],
-                                     axis=0)
-            U_dec = jnp.zeros((Xa_dec.shape[0], m_in))
-            Xa_act = jnp.concatenate(Xu, axis=0)
-            Xd_act = jnp.concatenate([differentiate(x, dt) for x in Xu],
-                                     axis=0)
-            U_act = jnp.concatenate([u[:x.shape[0]]
-                                     for x, u in zip(Xu, Us)], axis=0)
-            Phi = jnp.concatenate([
-                jnp.concatenate([lift_rom(Xa_dec), U_dec], axis=1),
-                jnp.concatenate([lift_rom(Xa_act), U_act], axis=1)], axis=0)
-            Y = jnp.concatenate([Xd_dec, Xd_act], axis=0)
+            Xa_dec = np.concatenate(Xs, axis=0)
+            Xd_dec = np.concatenate([differentiate(x, dt) for x in Xs],
+                                    axis=0)
+            U_dec = np.zeros((Xa_dec.shape[0], m_in))
+            Xa_act = np.concatenate(Xu, axis=0)
+            Xd_act = np.concatenate([differentiate(x, dt) for x in Xu],
+                                    axis=0)
+            U_act = np.concatenate([u[:x.shape[0]]
+                                    for x, u in zip(Xu, Us)], axis=0)
+            Phi = np.concatenate([
+                np.concatenate([_phi(Xa_dec, rom_exps), U_dec], axis=1),
+                np.concatenate([_phi(Xa_act, rom_exps), U_act], axis=1)],
+                axis=0)
+            Y = np.concatenate([Xd_dec, Xd_act], axis=0)
             RB = _ridge_fit(Phi.T, Y.T, lam_dyn)
             r_coeff, B_r = RB[:, :n_feat], RB[:, n_feat:]
             # discrete: x+ ~ [phi(x), u] [Rd; Bd]'
-            X0d = jnp.concatenate([x[:-1] for x in Xs], axis=0)
-            X1d = jnp.concatenate([x[1:] for x in Xs], axis=0)
-            X0a = jnp.concatenate([x[:-1] for x in Xu], axis=0)
-            X1a = jnp.concatenate([x[1:] for x in Xu], axis=0)
-            U0a = jnp.concatenate([u[:x.shape[0] - 1]
-                                   for x, u in zip(Xu, Us)], axis=0)
-            Phi_d = jnp.concatenate([
-                jnp.concatenate([lift_rom(X0d),
-                                 jnp.zeros((X0d.shape[0], m_in))], axis=1),
-                jnp.concatenate([lift_rom(X0a), U0a], axis=1)], axis=0)
-            Y_d = jnp.concatenate([X1d, X1a], axis=0)
+            X0d = np.concatenate([x[:-1] for x in Xs], axis=0)
+            X1d = np.concatenate([x[1:] for x in Xs], axis=0)
+            X0a = np.concatenate([x[:-1] for x in Xu], axis=0)
+            X1a = np.concatenate([x[1:] for x in Xu], axis=0)
+            U0a = np.concatenate([u[:x.shape[0] - 1]
+                                  for x, u in zip(Xu, Us)], axis=0)
+            Phi_d = np.concatenate([
+                np.concatenate([_phi(X0d, rom_exps),
+                                np.zeros((X0d.shape[0], m_in))], axis=1),
+                np.concatenate([_phi(X0a, rom_exps), U0a], axis=1)], axis=0)
+            Y_d = np.concatenate([X1d, X1a], axis=0)
             RBd = _ridge_fit(Phi_d.T, Y_d.T, lam_dyn)
             rd_coeff, Bd_r = RBd[:, :n_feat], RBd[:, n_feat:]
         else:
+            # continuous: (xdot - R phi(x)) ~ B u; discrete analog for Bd
+            resid_c, resid_d, U_c, U_d = [], [], [], []
+            for xu, u in zip(Xu, Us):
+                xd = differentiate(xu, dt)
+                resid_c.append(xd - _phi(xu, rom_exps) @ r_coeff.T)
+                U_c.append(u[:xu.shape[0]])
+                resid_d.append(xu[1:] - _phi(xu[:-1], rom_exps) @ rd_coeff.T)
+                U_d.append(u[:xu.shape[0] - 1])
+            Rc = np.concatenate(resid_c, axis=0)
+            Uc = np.concatenate(U_c, axis=0)
+            Rd_ = np.concatenate(resid_d, axis=0)
+            Ud = np.concatenate(U_d, axis=0)
             B_r = _ridge_fit(Uc.T, Rc.T, lam_dyn)
             Bd_r = _ridge_fit(Ud.T, Rd_.T, lam_dyn)
     if B_r is None:
-        B_r = jnp.zeros((state_dim, max(m_in, 1)))
-        Bd_r = jnp.zeros((state_dim, max(m_in, 1)))
+        B_r = np.zeros((state_dim, max(m_in, 1)))
+        Bd_r = np.zeros((state_dim, max(m_in, 1)))
 
     return SSMModel(
         w_coeff=w_coeff, v_coeff=v_coeff, r_coeff=r_coeff, B_r=B_r,

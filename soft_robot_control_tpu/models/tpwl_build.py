@@ -161,36 +161,49 @@ def build_tpwl_model(plant: FEMSurrogate, rom: POD, x_traj, u_traj,
             Bd_list.append(np.asarray(Bd))
             dd_list.append(np.asarray(dd))
 
-    def partial_model():
-        kw = {}
+    # numpy mirror of the partial TPWL model for the dynamics criterion:
+    # TPWLModel.update_state re-jits at every dictionary size, which costs
+    # one XLA compile per added point (hundreds at tet scale). The matrices
+    # are (2r)^2 with r ~ tens — plain numpy is exact and instant. Parity
+    # with TPWLModel nn-selection + update_dynamics is pinned by
+    # tests/test_tpwl_build.py::test_dynamics_criterion_matches_model.
+    dwq = config.dist_weights["q"]
+    dwv = config.dist_weights["v"]
+    disc_cache = {}
+
+    def predict_np(x_prev, u_prev):
+        Q = np.asarray(sel_q)
+        V = np.asarray(sel_v)
+        d_sel = (dwq * np.linalg.norm(Q - x_prev[r:], axis=1)
+                 + dwv * np.linalg.norm(V - x_prev[:r], axis=1))
+        i_nn = int(np.argmin(d_sel))
         if dynamics == "discrete":
-            kw = dict(A_d=np.asarray(Ad_list), B_d=np.asarray(Bd_list),
-                      d_d=np.asarray(dd_list), pre_discretized_dt=float(dt))
-        return TPWLModel(
-            q=np.asarray(sel_q), v=np.asarray(sel_v), u=np.asarray(sel_u),
-            A_c=np.asarray(A_list), B_c=np.asarray(B_list),
-            d_c=np.asarray(d_list), rom=rom,
-            dist_w_q=config.dist_weights["q"], dist_w_v=config.dist_weights["v"],
-            discr_method=config.discr_method, tpwl_method="nn", **kw)
+            Ad, Bd, dd_ = Ad_list[i_nn], Bd_list[i_nn], dd_list[i_nn]
+        else:
+            if i_nn not in disc_cache:
+                from soft_robot_control_tpu.core import discretize as disc
+                disc_cache[i_nn] = tuple(np.asarray(m) for m in
+                                         disc.discretize_affine(
+                                             jnp.asarray(A_list[i_nn]),
+                                             jnp.asarray(B_list[i_nn]),
+                                             jnp.asarray(d_list[i_nn]), dt,
+                                             method=config.discr_method))
+            Ad, Bd, dd_ = disc_cache[i_nn]
+        return Ad @ x_prev + Bd @ u_prev + dd_
 
     if config.eval_type == "dynamics" and dt is None:
         raise ValueError("dynamics eval_type requires config.dt")
 
-    sim_sys = None
     for i in range(x_traj.shape[0]):
         if not sel_steps:
             add(i)
-            if config.eval_type == "dynamics":
-                sim_sys = partial_model()
             continue
         if config.eval_type == "dynamics":
             if i == 0 or np.all(u_traj[i - 1] == 0):
                 continue
             # predict the current reduced state from the previous one with
             # the partial TPWL model, compare prediction error
-            x_prev_r = jnp.asarray(xr[i - 1])
-            x_pred = np.asarray(sim_sys.update_state(
-                x_prev_r, jnp.asarray(u_traj[i - 1]), dt))
+            x_pred = predict_np(xr[i - 1], u_traj[i - 1])
             d_est = x_pred - xr[i - 1]
             d_true = xr[i] - xr[i - 1]
             dq_err = wq * np.linalg.norm(d_est[r:] - d_true[r:])
@@ -202,7 +215,6 @@ def build_tpwl_model(plant: FEMSurrogate, rom: POD, x_traj, u_traj,
                 hit = dq_err + dv_err >= config.TPWL_threshold
             if hit:
                 add(i)
-                sim_sys = partial_model()
             continue
         qd = wq * np.linalg.norm(np.asarray(sel_q) - qr[i], axis=1)
         vd = wv * np.linalg.norm(np.asarray(sel_v) - vr[i], axis=1)

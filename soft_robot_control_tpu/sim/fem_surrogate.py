@@ -147,6 +147,34 @@ def simulate_batch(plant: FEMSurrogate, x0, u_seq, dt):
     return jax.vmap(lambda a, b: simulate(plant, a, b, dt))(x0, u_seq)
 
 
+def simulate_batch_chunked(plant, x0, u_seq, dt, chunk: int = 50):
+    """`simulate_batch` in fixed-size time chunks. Large batched scans at
+    reference tet-mesh scale crash the TPU runtime the same way long
+    single-program scans do (kernel fault at batch x T x state ~ 12 x 250
+    x 9768, observed in the Diamond SSM decay campaign; 12 x 50 survives —
+    the limit tracks per-program device time, consistent with an RPC
+    deadline in the axon tunnel). Chunking bounds the per-program extent
+    and reuses one compiled executable for any horizon.
+    Returns (B, T+1, 2n) like `simulate_batch`."""
+    u = jnp.asarray(u_seq)
+    B, T = u.shape[0], u.shape[1]
+    outs = [jnp.asarray(x0)[:, None]]
+    x = jnp.asarray(x0)
+    for s in range(0, T, chunk):
+        seg = u[:, s:s + chunk]
+        if seg.shape[1] < chunk:  # pad to the compiled shape, trim after
+            pad = chunk - seg.shape[1]
+            seg_p = jnp.concatenate(
+                [seg, jnp.zeros((B, pad, seg.shape[2]), seg.dtype)], axis=1)
+            X = simulate_batch(plant, x, seg_p, dt)[:, 1:seg.shape[1] + 1]
+        else:
+            X = simulate_batch(plant, x, seg, dt)[:, 1:]
+        X = jax.block_until_ready(X)
+        outs.append(X)
+        x = X[:, -1]
+    return jnp.concatenate(outs, axis=1)
+
+
 # ---------------------------------------------------------------------------
 # Factory: a small diamond/trunk-like robot
 

@@ -78,14 +78,20 @@ def collect_tpwl_data(robot, save_dir: str, threshold: float = 0.5,
                       nbr_samples: int = 40, t_step: float = 0.3,
                       seed: int = 222, discr_method: str = "be",
                       dynamics: str = "continuous",
-                      amplitude_scale: float = 1.0):
+                      amplitude_scale: float = 1.0,
+                      eval_type: str = "distance"):
     """Build the TPWL dictionary along a fresh excitation trajectory
     (collect_TPWL_data, examples/diamond/diamond.py:140-191).
     Saves tpwl_model_snapshots.pkl in the reference dict layout.
 
     dynamics='discrete' stores the projected implicit-step map instead of
     continuous Jacobians (the reference's discrete TPWL mode,
-    tpwl_utils.py:279-289) — preferred for the full-scale tet-FEM plants."""
+    tpwl_utils.py:279-289) — preferred for the full-scale tet-FEM plants.
+
+    eval_type='dynamics' adds points where the partial dictionary's
+    one-step prediction error exceeds the threshold instead of by state
+    distance (the reference's tpwl_dynamics_config criterion,
+    tpwl_utils.py:199-260)."""
     rom = pod.load_POD(os.path.join(save_dir, "pod_model.pkl"))
     s = robot.sequences
     umax_save = np.asarray(s.umax).copy()
@@ -100,7 +106,8 @@ def collect_tpwl_data(robot, save_dir: str, threshold: float = 0.5,
     X = np.asarray(simulate_chunked(robot.plant, robot.plant.x_rest(),
                                     jnp.asarray(u), dt))
     cfg = tpwl_build.tpwl_config(TPWL_threshold=threshold,
-                                 TPWL_weighting_factors={"q": 10.0, "v": 1.0})
+                                 TPWL_weighting_factors={"q": 10.0, "v": 1.0},
+                                 eval_type=eval_type, dt=dt)
     Hf = robot.get_output_model()
     Cf = robot.get_measurement_model()
     model = tpwl_build.build_tpwl_model(
@@ -245,8 +252,8 @@ def run_scp_open_loop(robot, save_dir: str, t_target, z_target, N=100,
     t_u = np.arange(0, topt[-1], robot.dt)
     u_replay = np.stack([np.interp(t_u, topt[:-1], uopt[:, j])
                          for j in range(uopt.shape[1])], axis=1)
-    X = np.asarray(simulate(robot.plant, robot.plant.x_rest(),
-                            jnp.asarray(u_replay), robot.dt))
+    X = np.asarray(simulate_chunked(robot.plant, robot.plant.x_rest(),
+                                    jnp.asarray(u_replay), robot.dt))
     z_true = X @ Hf.T
     return {"topt": topt, "uopt": uopt, "zopt": zopt, "z_replay": z_true,
             "gusto": gusto}
@@ -287,11 +294,16 @@ def run_rompc(robot, save_dir: str, t_target, z_target, N=20, N_replan=4,
 def run_koopman(robot, save_dir: str, t_target, z_target_scaled, delay_embed=2,
                 degree=2, N=8, rollout_horizon=4, Qz=None, R=None,
                 sim_duration=8.0, delay=1.0, nbr_samples=120,
-                save_prefix="koopman"):
+                save_prefix="koopman", absolute_targets=False):
     """Native Koopman recipe (run_koopman, examples/diamond/diamond_koopman.py
     with the MATLAB training replaced by in-repo EDMD): collect data, scale,
     train, constrained lifted MPC, closed loop. Output nodes: the robot's
-    default output positions."""
+    default output positions.
+
+    The lifted MPC tracks targets in the training-scaled output coordinates
+    (the reference rescales targets with KoopmanScaling, diamond_koopman.py).
+    Pass absolute_targets=True to hand absolute outputs; they are normalized
+    with the scaling computed from the training data here."""
     from soft_robot_control_tpu.control.koopman import KoopmanMPC
     from soft_robot_control_tpu.control.linear_mpc import LinearMPCService
     from soft_robot_control_tpu.core.constraints import HyperRectangle
@@ -304,8 +316,8 @@ def run_koopman(robot, save_dir: str, t_target, z_target_scaled, delay_embed=2,
     u_seq, _, _ = s.lhs_sequence(nbr_samples=nbr_samples, t_step=0.25,
                                  seed=444)
     u_train = np.asarray(u_seq).T
-    X = np.asarray(simulate(robot.plant, robot.plant.x_rest(),
-                            jnp.asarray(u_train), dt))
+    X = np.asarray(simulate_chunked(robot.plant, robot.plant.x_rest(),
+                                    jnp.asarray(u_train), dt))
     Hf = robot.get_output_model()
     y_train = X[:-1] @ Hf.T
     ny = y_train.shape[1]
@@ -329,7 +341,10 @@ def run_koopman(robot, save_dir: str, t_target, z_target_scaled, delay_embed=2,
 
     Qz = Qz if Qz is not None else 100.0 * np.eye(ny)
     R = R if R is not None else 1e-1 * np.eye(m_in)
-    target = Target(t=t_target, z=np.asarray(z_target_scaled))
+    z_t = np.asarray(z_target_scaled)
+    if absolute_targets:
+        z_t = (z_t - y_off) / y_fac
+    target = Target(t=t_target, z=z_t)
     U = HyperRectangle(np.ones(m_in), np.zeros(m_in))
     dU = HyperRectangle(0.08 * np.ones(m_in), -0.08 * np.ones(m_in))
     svc = LinearMPCService(km, N, dt, QuadraticCost(Q=Qz, R=R, Qf=5 * Qz),

@@ -28,21 +28,23 @@ def collect_decay_trajectories(plant: FEMSurrogate, Hf, u_levels,
     Returns list of (t, z) decay trajectories (the SSMLearn training
     format: unforced decays toward the origin of the observed coordinates).
     """
-    from soft_robot_control_tpu.sim.fem_surrogate import simulate_batch
+    from soft_robot_control_tpu.sim.fem_surrogate import simulate_batch_chunked
 
     Hf = np.asarray(Hf)
     N_hold = int(hold_time / dt)
     N_decay = int(decay_time / dt)
     # one vmapped batch over all levels: at reference mesh scale the
     # per-step solve is bandwidth-bound on its preconditioner matrices,
-    # which amortize across the batch (GEMM instead of per-level GEMV)
+    # which amortize across the batch (GEMM instead of per-level GEMV);
+    # chunked in time — large batched scans kernel-fault the TPU runtime
     u_seqs = np.stack([
         np.concatenate([np.tile(np.asarray(u, float), (N_hold, 1)),
                         np.zeros((N_decay, plant.input_dim))], axis=0)
         for u in u_levels])
     x0 = jnp.tile(plant.x_rest()[None], (len(u_levels), 1))
     dtype = jnp.asarray(plant.H).dtype
-    X = np.asarray(simulate_batch(plant, x0, jnp.asarray(u_seqs, dtype), dt))
+    X = np.asarray(simulate_batch_chunked(plant, x0,
+                                          jnp.asarray(u_seqs, dtype), dt))
     out = []
     t = dt * np.arange(N_decay + 1)
     for b in range(len(u_levels)):
@@ -85,16 +87,15 @@ def collect_actuated_trajectories(plant: FEMSurrogate, Hf, u_seqs,
     record z = Hf x — training data for the SSM input-matrix fit
     (models/ssm_learn.py step 6; the reference gathers the same kind of
     actuated runs for SSMLearn via examples/diamond/SSM_sysID.py)."""
-    from soft_robot_control_tpu.sim.fem_surrogate import simulate_batch
+    from soft_robot_control_tpu.sim.fem_surrogate import simulate_batch_chunked
 
     Hf = np.asarray(Hf)
     u_arr = [np.atleast_2d(np.asarray(u, float)) for u in u_seqs]
     if len({u.shape for u in u_arr}) == 1:   # uniform lengths: one batch
         dtype = jnp.asarray(plant.H).dtype
         x0 = jnp.tile(plant.x_rest()[None], (len(u_arr), 1))
-        X = np.asarray(simulate_batch(plant, x0,
-                                      jnp.asarray(np.stack(u_arr), dtype),
-                                      dt))
+        X = np.asarray(simulate_batch_chunked(
+            plant, x0, jnp.asarray(np.stack(u_arr), dtype), dt))
         return [(X[b, :-1] @ Hf.T, u_arr[b]) for b in range(len(u_arr))]
     out = []
     for u_seq in u_arr:

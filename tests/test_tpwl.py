@@ -291,3 +291,66 @@ def test_rollout_batch_weighting_matches_per_sample():
     np.testing.assert_allclose(Xb, Xref, rtol=1e-8, atol=1e-9)
     Xauto = np.asarray(rollout_batch(model, x0, u, dt))
     np.testing.assert_allclose(Xauto, Xref, rtol=1e-8, atol=1e-9)
+
+
+def test_dynamics_criterion_matches_model_oracle(pipeline):
+    """The dynamics-error selection criterion (eval_type='dynamics',
+    tpwl_utils.py:199-260) uses a numpy mirror of the partial TPWL model
+    for speed; its add-decisions must match an oracle that rebuilds the
+    real TPWLModel after every add and predicts with update_state."""
+    plant, rom, X, u = pipeline
+    T = 120
+    Xs, us = X[:T], u[:T]
+    dt = 0.02
+    cfg = tpwl_config(TPWL_threshold=0.05, eval_type="dynamics",
+                      TPWL_weighting_factors={"q": 10.0, "v": 1.0},
+                      discr_method="be", dt=dt)
+    model = build_tpwl_model(plant, rom, Xs[:-1], us[:len(Xs) - 1],
+                             config=cfg,
+                             params={"dist_weights": {"q": 1.0, "v": 0.0}},
+                             discr_method="be")
+    assert 2 <= model.num_points < T
+
+    # oracle: same loop with the real TPWLModel doing the prediction
+    from soft_robot_control_tpu.models.tpwl_build import reduced_affine_dynamics
+    from soft_robot_control_tpu.core.packing import x2qv
+
+    xr = np.asarray(jax.vmap(rom.project_x)(jnp.asarray(Xs[:-1])))
+    qr, vr = (np.asarray(a) for a in x2qv(xr))
+    r = rom.rom_dim
+    sel = []
+
+    def partial():
+        idx = np.asarray(sel)
+        A = np.stack([np.asarray(reduced_affine_dynamics(
+            plant, rom, Xs[i], us[i])[0]) for i in idx])
+        B = np.stack([np.asarray(reduced_affine_dynamics(
+            plant, rom, Xs[i], us[i])[1]) for i in idx])
+        d = np.stack([np.asarray(reduced_affine_dynamics(
+            plant, rom, Xs[i], us[i])[2]) for i in idx])
+        return TPWLModel(q=qr[idx], v=vr[idx], u=us[idx], A_c=A, B_c=B,
+                         d_c=d, rom=rom, dist_w_q=cfg.dist_weights["q"],
+                         dist_w_v=cfg.dist_weights["v"],
+                         discr_method="be", tpwl_method="nn")
+
+    sim_sys = None
+    for i in range(len(Xs) - 1):
+        if not sel:
+            sel.append(i)
+            sim_sys = partial()
+            continue
+        if i == 0 or np.all(us[i - 1] == 0):
+            continue
+        x_pred = np.asarray(sim_sys.update_state(
+            jnp.asarray(xr[i - 1]), jnp.asarray(us[i - 1]), dt))
+        d_est = x_pred - xr[i - 1]
+        d_true = xr[i] - xr[i - 1]
+        dq_err = 10.0 * np.linalg.norm(d_est[r:] - d_true[r:])
+        dv_err = 1.0 * np.linalg.norm(d_est[:r] - d_true[:r])
+        if dq_err + dv_err >= cfg.TPWL_threshold:
+            sel.append(i)
+            sim_sys = partial()
+
+    assert model.num_points == len(sel)
+    np.testing.assert_allclose(np.asarray(model.q), qr[np.asarray(sel)],
+                               rtol=1e-10, atol=1e-12)
