@@ -96,8 +96,9 @@ def main():
                                 delay=1.0, save_prefix="rompc")
         z = np.asarray(sim["z"])
         t = np.asarray(sim["t"])
-        zt = np.stack([np.interp(t, tt, z_target[:, j]) for j in range(3)],
-                      axis=1)
+        # vs the delay-shifted target (controller plan-clock semantics)
+        zt = np.stack([np.interp(t - 1.0, tt, z_target[:, j])
+                       for j in range(3)], axis=1)
         act = t >= 2.0
         rmse = float(np.sqrt(np.mean(np.sum(
             (z[act][:, :2] - zt[act][:, :2]) ** 2, axis=1))))
@@ -121,8 +122,9 @@ def main():
             absolute_targets=True)
         z = np.asarray(sim["z"])
         t = np.asarray(sim["t"])
-        zt = np.stack([np.interp(t, tt, z_target[:, j]) for j in range(3)],
-                      axis=1)
+        # vs the delay-shifted target (controller plan-clock semantics)
+        zt = np.stack([np.interp(t - 1.0, tt, z_target[:, j])
+                       for j in range(3)], axis=1)
         act = t >= 2.0
         rmse = float(np.sqrt(np.mean(np.sum(
             (z[act][:, :2] - zt[act][:, :2]) ** 2, axis=1))))

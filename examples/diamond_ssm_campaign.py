@@ -57,6 +57,9 @@ def main():
     ap.add_argument("--state-dim", type=int, default=6)
     ap.add_argument("--ssm-order", type=int, default=3)
     ap.add_argument("--rom-order", type=int, default=3)
+    ap.add_argument("--mpc-only", action="store_true",
+                    help="skip fit + gates; run the closed loop with the "
+                    "previously accepted diamond_SSM_model.mat")
     args = ap.parse_args()
 
     import jax
@@ -90,6 +93,17 @@ def main():
     Hf = tip_qv_output(plant.n_nodes, tip)
     dt = robot.dt
     amp = args.amp
+    art_path = os.path.join(args.out, "diamond_SSM_model.mat")
+
+    if args.mpc_only:
+        if not os.path.exists(art_path):
+            raise SystemExit("--mpc-only needs a previously accepted "
+                             "diamond_SSM_model.mat")
+        model = ssm_mod.from_mat(art_path, None, discrete=False,
+                                 discr_method="be")
+        rel, stable = None, True
+        run_mpc(args, robot, plant, model, Hf, tip, dt, t0, rel, stable)
+        return
 
     # decay levels: each cable individually at two amplitudes + adjacent
     # pairs (SSM_sysID.py's constant-hold decay sweep; the diamond's 4
@@ -209,6 +223,14 @@ def main():
         save_mat(model, art_path)
         print(f"[{time.time()-t0:6.1f}s] gates PASS -> saved "
               f"diamond_SSM_model.mat", flush=True)
+        # reload the persisted artifact for control with backward-Euler
+        # discretization: learn_ssm returns discr_method='fe', and forward
+        # Euler of the cubic reduced dynamics at the controller dt (0.02)
+        # destabilizes the solver's linearization rollouts — every LOCP
+        # failed with the in-memory 'fe' model while the same coefficients
+        # under 'be' track (also exercises the .mat round-trip)
+        model = ssm_mod.from_mat(art_path, None, discrete=False,
+                                 discr_method="be")
     else:
         rej = os.path.join(args.out, "diamond_SSM_model.rejected.mat")
         save_mat(model, rej)
@@ -224,17 +246,24 @@ def main():
 
     if args.skip_mpc:
         return
+    run_mpc(args, robot, plant, model, Hf, tip, dt, t0, rel, stable)
 
-    # ---- closed-loop SSM MPC on the tet plant --------------------------
-    # reference configuration: control dt 0.02 (2 plant ticks), N=3,
-    # N_replan=2, Qz=diag(100,100,0,...), R=1e-5, figure-8 around rest
-    # (diamond_SSM.py:195-218, 281-282, 355-361)
+
+def run_mpc(args, robot, plant, model, Hf, tip, dt, t0, rel, stable):
+    """Closed-loop SSM MPC on the tet plant — reference configuration:
+    control dt 0.02 (2 plant ticks), N=3, N_replan=2,
+    Qz=diag(100,100,0,...), R=1e-5, figure-8 around rest
+    (diamond_SSM.py:195-218, 281-282, 355-361)."""
+    import numpy as np
+    import jax.numpy as jnp
     from soft_robot_control_tpu.control.mpc import scp_ssm
     from soft_robot_control_tpu.control.service import GuSTOService
     from soft_robot_control_tpu.core.constraints import HyperRectangle
     from soft_robot_control_tpu.models.interfaces import SSMGuSTO
     from soft_robot_control_tpu.sim.closed_loop import run_closed_loop
 
+    np_dtype_name = ("float64" if np.asarray(plant.rest_pos).dtype
+                     == np.float64 else "float32")
     gm = SSMGuSTO(model)
     nz = model.output_dim
     dt_c = 2 * dt
@@ -278,17 +307,31 @@ def main():
     t = np.asarray(sim["t"])
     zs = z[:, :2] - np.asarray(model.z_ref)[:2]
     mask = t > 2.0
-    zx = np.interp(t[mask], t_target, z_target[:, 0])
-    zy = np.interp(t[mask], t_target, z_target[:, 1])
+    # the controller's plan clock is t_compute = sim_time - delay (the
+    # reference's delay-window semantics, tpwl/controllers.py:95-117), so
+    # the closed loop tracks z_target(t - delay) by construction; score
+    # against the delayed target (the trunk campaign does the same).
+    # Unshifted RMSE is recorded too: the raw 14.45 mm vs delay-corrected
+    # 0.56 mm gap is entirely the 1.0 s figure-8 phase offset.
+    delay = 1.0
+    zx = np.interp(t[mask] - delay, t_target, z_target[:, 0])
+    zy = np.interp(t[mask] - delay, t_target, z_target[:, 1])
     err = np.hypot(zs[mask, 0] - zx, zs[mask, 1] - zy)
     rmse = float(np.sqrt(np.mean(err**2)))
+    zx0 = np.interp(t[mask], t_target, z_target[:, 0])
+    zy0 = np.interp(t[mask], t_target, z_target[:, 1])
+    rmse_unshifted = float(np.sqrt(np.mean(
+        np.hypot(zs[mask, 0] - zx0, zs[mask, 1] - zy0) ** 2)))
     print(f"[{time.time()-t0:6.1f}s] Diamond SSM MPC on tet plant: tracking "
-          f"RMSE {rmse:.2f} mm (figure-8 amp 15 mm)", flush=True)
+          f"RMSE {rmse:.2f} mm vs the delay-shifted target "
+          f"({rmse_unshifted:.2f} unshifted; figure-8 amp 15 mm)", flush=True)
     from soft_robot_control_tpu.utils.io import save_data
     save_data(os.path.join(args.out, "diamond_ssm_mpc_sim.pkl"), sim)
     import json
     with open(os.path.join(args.out, "diamond_ssm_mpc.json"), "w") as f:
-        json.dump({"tracking_rmse_mm": rmse, "figure8_amp_mm": 15.0,
+        json.dump({"tracking_rmse_mm": rmse,
+                   "tracking_rmse_unshifted_mm": rmse_unshifted,
+                   "delay_s": delay, "figure8_amp_mm": 15.0,
                    "held_out_rel": rel, "stable": stable,
                    "sim_duration_s": args.sim_duration,
                    "platform": np_dtype_name}, f, indent=1)

@@ -150,13 +150,24 @@ def main():
                           else jnp.float32)
     z = np.asarray(sim["z"])
     t = np.asarray(sim["t"])
-    zt = np.stack([np.interp(t, tt, z_target[:, j]) for j in range(3)],
-                  axis=1)
+    # score vs z_target(t - delay): the controller's plan clock starts at 0
+    # when the delay window ends (tpwl/controllers.py:95-117), so the loop
+    # tracks the delayed target by construction. The r2 campaign scored the
+    # unshifted target and attributed the resulting 12-13 mm to the model —
+    # delay-corrected, the same committed sim tracks at ~7.3 mm.
+    delay = 1.0
+    zt = np.stack([np.interp(t - delay, tt, z_target[:, j])
+                   for j in range(3)], axis=1)
+    zt0 = np.stack([np.interp(t, tt, z_target[:, j]) for j in range(3)],
+                   axis=1)
     active = t >= 1.0
     rmse = float(np.sqrt(np.mean(np.sum(
         (z[active][:, :2] - zt[active][:, :2]) ** 2, axis=1))))
+    rmse_unshifted = float(np.sqrt(np.mean(np.sum(
+        (z[active][:, :2] - zt0[active][:, :2]) ** 2, axis=1))))
     print(f"[{time.time()-t0:6.1f}s] GuSTO MPC figure-8: tracking RMSE "
-          f"{rmse:.3f} mm over {active.sum()} steps", flush=True)
+          f"{rmse:.3f} mm vs the delay-shifted target ({rmse_unshifted:.3f} "
+          f"unshifted) over {active.sum()} steps", flush=True)
     info = sim.get("info", {})
     if "solve_times" in info and len(info["solve_times"]):
         st = np.asarray(info["solve_times"])

@@ -74,3 +74,32 @@ def test_campaign_rest_matches_pod_ref():
     rom = load_POD(os.path.join(ART_DIR, "pod_model.pkl"))
     np.testing.assert_allclose(np.asarray(rest["rest"]),
                                np.asarray(rom.q_ref), atol=1e-5)
+
+
+def test_diamond_ssm_artifact_stable_and_tracks():
+    """The committed native Diamond SSM (examples/diamond_ssm_campaign.py)
+    loads, its unforced reduced dynamics contract, and the committed
+    closed-loop result clears the <5 mm tracking goal (the reference's
+    flagship SSM config, examples/hardware/diamond_SSM.py:144-225)."""
+    import json
+
+    art = os.path.join(ART_DIR, "diamond_SSM_model.mat")
+    res = os.path.join(ART_DIR, "diamond_ssm_mpc.json")
+    if not os.path.exists(art):
+        pytest.skip("diamond SSM artifact not present")
+    from soft_robot_control_tpu.models import ssm as ssm_mod
+
+    model = ssm_mod.from_mat(art, None, discrete=False, discr_method="be")
+    assert model.state_dim == 6 and model.input_dim == 4
+    x0 = model.observed_to_reduced(jnp.asarray(
+        np.concatenate([3.0 * np.ones(3), np.zeros(3)])))
+    xs, _ = model.rollout(x0, jnp.zeros((200, 4)), 0.01)
+    n0 = float(jnp.linalg.norm(xs[0]))
+    nT = float(jnp.linalg.norm(xs[-1]))
+    assert np.isfinite(nT) and nT < 0.5 * n0, (n0, nT)
+
+    if os.path.exists(res):
+        with open(res) as f:
+            r = json.load(f)
+        assert r["tracking_rmse_mm"] < 5.0, r
+        assert r["held_out_rel"] < 0.2, r
