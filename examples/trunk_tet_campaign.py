@@ -39,13 +39,33 @@ def main():
                     help="cpu forces CPU/float64; default = session TPU f32")
     ap.add_argument("--out", default=os.path.join(os.path.dirname(
         os.path.abspath(__file__)), "trunk_tet"))
-    ap.add_argument("--samples", type=int, default=24,
+    ap.add_argument("--samples", type=int, default=40,
                     help="LHS samples for POD data")
-    ap.add_argument("--tpwl-samples", type=int, default=24)
+    ap.add_argument("--tpwl-samples", type=int, default=40)
     ap.add_argument("--t-step", type=float, default=0.25)
-    ap.add_argument("--threshold", type=float, default=30.0)
-    ap.add_argument("--rom-dim", type=int, default=24)
+    ap.add_argument("--threshold", type=float, default=15.0)
+    ap.add_argument("--rom-dim", type=int, default=30)
+    ap.add_argument("--amplitude-scale", type=float, default=0.25,
+                    help="LHS excitation amplitude as a fraction of u_max; "
+                    "the reference collects Trunk data at max_amplitude=200 "
+                    "of u_max=800 (trunk.py:186) — full-amplitude data "
+                    "bends the trunk ~90 mm and starves the +/-10 mm "
+                    "figure-8 regime of dictionary points")
+    ap.add_argument("--solver-N", type=int, default=50,
+                    help="MPC horizon steps at the dictionary dt; 50 x "
+                    "0.01 s matches the reference's 0.5 s trunk horizon "
+                    "(trunk.py: dt=0.1, N=5) — a 0.1 s horizon with cheap "
+                    "inputs bang-bangs the loop unstable")
+    ap.add_argument("--u-bound", type=float, default=250.0,
+                    help="MPC input upper bound (mN). The one-LOCP no-trust-"
+                    "region real-time configuration has no mechanism to stop "
+                    "the solver extrapolating the TPWL model outside its "
+                    "u<=200 training envelope (the reference keeps the full "
+                    "GuSTO trust region via GUROBI instead, trunk.py:322); "
+                    "bounding U at the data envelope plays that role")
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--skip-collect", action="store_true",
+                    help="reuse the existing POD/TPWL artifacts in --out")
     ap.add_argument("--skip-mpc", action="store_true")
     ap.add_argument("--skip-ilqr", action="store_true")
     ap.add_argument("--sim-duration", type=float, default=11.0)
@@ -84,30 +104,35 @@ def main():
     os.makedirs(d, exist_ok=True)
     summary = {"platform": dtype}
 
-    snap = recipes.collect_pod_data(robot, d, nbr_samples=args.samples,
-                                    t_step=args.t_step)
-    print(f"[{time.time()-t0:6.1f}s] POD data: {len(snap['q'])} snapshots",
-          flush=True)
+    if not args.skip_collect:
+        snap = recipes.collect_pod_data(robot, d, nbr_samples=args.samples,
+                                        t_step=args.t_step,
+                                        amplitude_scale=args.amplitude_scale)
+        print(f"[{time.time()-t0:6.1f}s] POD data: {len(snap['q'])} "
+              f"snapshots", flush=True)
 
-    res = recipes.compute_pod_basis(d, pod_tolerance=5e-5, pod_type="a",
-                                    rom_dim=args.rom_dim)
-    r = res["POD_info"]["U"].shape[1]
-    print(f"[{time.time()-t0:6.1f}s] POD basis: r = {r}", flush=True)
-    summary["rom_dim"] = int(r)
+        res = recipes.compute_pod_basis(d, pod_tolerance=5e-5, pod_type="a",
+                                        rom_dim=args.rom_dim)
+        r = res["POD_info"]["U"].shape[1]
+        print(f"[{time.time()-t0:6.1f}s] POD basis: r = {r}", flush=True)
+        summary["rom_dim"] = int(r)
 
-    model = recipes.collect_tpwl_data(robot, d, threshold=args.threshold,
-                                      nbr_samples=args.tpwl_samples,
-                                      t_step=args.t_step,
-                                      dynamics="discrete")
-    print(f"[{time.time()-t0:6.1f}s] TPWL dictionary: P = {model.num_points}",
-          flush=True)
-    summary["tpwl_points"] = int(model.num_points)
+        model = recipes.collect_tpwl_data(robot, d,
+                                          threshold=args.threshold,
+                                          nbr_samples=args.tpwl_samples,
+                                          t_step=args.t_step,
+                                          dynamics="discrete",
+                                          amplitude_scale=args.amplitude_scale)
+        print(f"[{time.time()-t0:6.1f}s] TPWL dictionary: "
+              f"P = {model.num_points}", flush=True)
+        summary["tpwl_points"] = int(model.num_points)
 
-    chk = recipes.tpwl_rollout_check(robot, d, nbr_samples=6, seed=333,
-                                     t_step=args.t_step)
-    print(f"[{time.time()-t0:6.1f}s] held-out rollout: MSE {chk['mse']:.4g}, "
-          f"rel err {chk['rel_err']:.4f}", flush=True)
-    summary["heldout_rel_err"] = float(chk["rel_err"])
+        chk = recipes.tpwl_rollout_check(robot, d, nbr_samples=6, seed=333,
+                                         t_step=args.t_step,
+                                         amplitude_scale=args.amplitude_scale)
+        print(f"[{time.time()-t0:6.1f}s] held-out rollout: MSE "
+              f"{chk['mse']:.4g}, rel err {chk['rel_err']:.4f}", flush=True)
+        summary["heldout_rel_err"] = float(chk["rel_err"])
 
     # figure-8 "infinity sign" target around the post-gravity rest tip
     # (trunk.py:299-303: -10 sin th / 10 sin 2th, period 10 s)
@@ -123,7 +148,7 @@ def main():
     Qz = np.diag([100.0, 100.0, 0.0])
     R = 1e-5 * np.eye(8)
     from soft_robot_control_tpu.core.constraints import HyperRectangle
-    U = HyperRectangle(800.0 * np.ones(8), np.zeros(8))
+    U = HyperRectangle(args.u_bound * np.ones(8), np.zeros(8))
 
     import jax.numpy as jnp
     jdtype = jnp.float64 if dtype == "float64" else jnp.float32
@@ -133,7 +158,7 @@ def main():
         # real-time configuration the diamond campaign validated (see
         # diamond_tet_campaign.py notes on the TR epigraph at this scale)
         sim = recipes.run_scp(robot, d, tt, z_target, dt_solver=robot.dt,
-                              N=10, N_replan=2, Qz=Qz, R=R,
+                              N=args.solver_N, N_replan=2, Qz=Qz, R=R,
                               sim_duration=args.sim_duration, delay=1.0,
                               U=U, save_prefix="scp_fig8",
                               max_gusto_iters=0, is_tr_active=False,

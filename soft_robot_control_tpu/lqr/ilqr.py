@@ -242,6 +242,20 @@ class iLQR:
                     alpha * np.einsum("ti,ti->t", k, Q_u)
                     + 0.5 * alpha**2 * np.einsum("ti,tij,tj->t", k, Q_uu, k)))
 
+                # a full step can drive the rollout outside the model's
+                # stability envelope -> inf/NaN cost. NaN comparisons are
+                # all False, which would ACCEPT the trajectory and poison
+                # every later iterate (observed: trunk tet iLQR all-NaN
+                # policy) — reject non-finite costs explicitly and shrink.
+                if not np.isfinite(cost_tmp):
+                    alpha = p.alpha_scaling * alpha
+                    improved = False
+                    if alpha < p.alpha_min:
+                        self.update_regularization(increase=True)
+                        self.rho += p.rho_increase_fp
+                        failed = True
+                    continue
+
                 if p.do_linesearch:
                     decrease_ratio = (cost_tmp - prev_cost) / delta_cost \
                         if delta_cost != 0 else np.inf
