@@ -91,9 +91,11 @@ def main():
     if not args.skip_rompc:
         Qz = np.diag([100.0, 100.0, 0.0])
         R = 1e-4 * np.eye(4)
+        backend = "dense" if np_dtype_name == "float64" else "condensed"
         sim = recipes.run_rompc(robot, d, tt, z_target, N=20, N_replan=4,
                                 Qz=Qz, R=R, sim_duration=args.sim_duration,
-                                delay=1.0, save_prefix="rompc")
+                                delay=1.0, save_prefix="rompc",
+                                locp_backend=backend)
         z = np.asarray(sim["z"])
         t = np.asarray(sim["t"])
         # vs the delay-shifted target (controller plan-clock semantics)
@@ -115,11 +117,12 @@ def main():
         # run_koopman trains natively (EDMD) and tracks targets in the
         # model's scaled output coordinates; pass absolute tip targets and
         # let the recipe normalize with the training scaling
+        backend = "dense" if np_dtype_name == "float64" else "condensed"
         sim = recipes.run_koopman(
             robot, d, tt, z_target, delay_embed=1, degree=2, N=10,
             rollout_horizon=4, sim_duration=args.sim_duration, delay=1.0,
             nbr_samples=args.koopman_samples, save_prefix="koopman",
-            absolute_targets=True)
+            absolute_targets=True, locp_backend=backend)
         z = np.asarray(sim["z"])
         t = np.asarray(sim["t"])
         # vs the delay-shifted target (controller plan-clock semantics)

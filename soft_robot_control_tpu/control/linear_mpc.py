@@ -37,11 +37,27 @@ class LinearMPCService:
         self.cost_params = cost_params
         self.verbose = verbose
 
-        self.locp = LOCP(N, np.asarray(model.H), np.asarray(cost_params.Q),
-                         np.asarray(cost_params.R),
-                         Qzf=None if cost_params.Qf is None else np.asarray(cost_params.Qf),
-                         U=U, X=X, Xf=Xf, dU=dU, verbose=(verbose == 2),
-                         warm_start=warm_start, is_tr_active=False, **kwargs)
+        locp_backend = kwargs.pop("locp_backend", "dense")
+        if locp_backend == "condensed":
+            # states eliminated exactly — the sparse LOCP's big KKT system
+            # stalls f32 ADMM on TPU (see scp/gusto.py backend notes); the
+            # condensed QP is tiny and solves in one shot.
+            from soft_robot_control_tpu.scp.locp_condensed import (
+                CondensedLOCPAdapter)
+
+            self.locp = CondensedLOCPAdapter(
+                N, np.asarray(model.H), np.asarray(cost_params.Q),
+                np.asarray(cost_params.R),
+                Qzf=None if cost_params.Qf is None
+                else np.asarray(cost_params.Qf),
+                U=U, X=X, Xf=Xf, dU=dU,
+                warm_start=warm_start, is_tr_active=False, **kwargs)
+        else:
+            self.locp = LOCP(N, np.asarray(model.H), np.asarray(cost_params.Q),
+                             np.asarray(cost_params.R),
+                             Qzf=None if cost_params.Qf is None else np.asarray(cost_params.Qf),
+                             U=U, X=X, Xf=Xf, dU=dU, verbose=(verbose == 2),
+                             warm_start=warm_start, is_tr_active=False, **kwargs)
 
         n = np.asarray(model.A_d).shape[0]
         self.A_d = np.tile(np.asarray(model.A_d), (N, 1, 1))

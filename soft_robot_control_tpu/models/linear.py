@@ -24,10 +24,20 @@ class LinearROM:
             from soft_robot_control_tpu.utils.io import load_data
 
             data = load_data(data)
-        A_c = jnp.asarray(data["A_c"])
-        B_c = jnp.asarray(data["B_c"])
-        d_c = jnp.asarray(np.asarray(data["d_c"]).reshape(-1))
-        self.A_d, self.B_d, self.d_d = disc.zoh_affine(A_c, B_c, d_c, dt)
+        if "A_d" in data and data.get("dt") is not None and \
+                abs(float(data["dt"]) - float(dt)) < 1e-12:
+            # prefer the dictionary's projected implicit step map
+            # (rompc_utils.py TPWL2LinearROM uses the discrete point when
+            # available): the continuous Galerkin point is stiff at tet
+            # scale and its ZOH is unstable (spectral radius >1).
+            self.A_d = jnp.asarray(data["A_d"])
+            self.B_d = jnp.asarray(data["B_d"])
+            self.d_d = jnp.asarray(np.asarray(data["d_d"]).reshape(-1))
+        else:
+            A_c = jnp.asarray(data["A_c"])
+            B_c = jnp.asarray(data["B_c"])
+            d_c = jnp.asarray(np.asarray(data["d_c"]).reshape(-1))
+            self.A_d, self.B_d, self.d_d = disc.zoh_affine(A_c, B_c, d_c, dt)
         if data["rom_info"]["type"] != "POD":
             raise NotImplementedError("Unknown ROM type")
         self.rom = POD(data["rom_info"])
@@ -139,6 +149,14 @@ def tpwl_to_linear_rom(tpwl_path_or_dict, save_path=None):
         data = load_data(data)
     out = {"A_c": np.asarray(data["A_c"][0]), "B_c": np.asarray(data["B_c"][0]),
            "d_c": np.asarray(data["d_c"][0]), "rom_info": data["rom_info"]}
+    if "A_d" in data:
+        # carry the dictionary's discrete family: at tet scale the
+        # ZOH of the continuous Galerkin point is unstable (spectral
+        # radius >1 — stiff modes that backward Euler statically
+        # condenses), while the projected implicit step map is stable.
+        out.update(A_d=np.asarray(data["A_d"][0]),
+                   B_d=np.asarray(data["B_d"][0]),
+                   d_d=np.asarray(data["d_d"][0]), dt=float(data["dt"]))
     if save_path is not None:
         save_data(save_path, out)
     return out

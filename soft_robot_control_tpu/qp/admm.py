@@ -62,8 +62,13 @@ def _ruiz_equilibrate(P, q, A, iters: int = 10):
         col_x = jnp.maximum(jnp.max(jnp.abs(P), axis=0),
                             jnp.max(jnp.abs(A), axis=0) if m > 0 else 0.0)
         col_y = jnp.max(jnp.abs(A), axis=1) if m > 0 else jnp.zeros(0, P.dtype)
-        dd = 1.0 / jnp.sqrt(jnp.maximum(col_x, 1e-12))
-        ee = 1.0 / jnp.sqrt(jnp.maximum(col_y, 1e-12))
+        # zero-norm rows/cols (e.g. a vacuous constraint row) stay
+        # unscaled: 1/sqrt(eps) compounds each iteration and overflows
+        # the accumulated e in f32 (OSQP clamps scalings the same way)
+        dd = jnp.where(col_x > 1e-12,
+                       1.0 / jnp.sqrt(jnp.maximum(col_x, 1e-12)), 1.0)
+        ee = jnp.where(col_y > 1e-12,
+                       1.0 / jnp.sqrt(jnp.maximum(col_y, 1e-12)), 1.0)
         P = P * dd[:, None] * dd[None, :]
         q = q * dd
         A = A * ee[:, None] * dd[None, :]

@@ -42,6 +42,7 @@ class CondensedParams(NamedTuple):
     xk: Optional[jnp.ndarray] = None      # (N+1, nx) linearization traj
     delta: Optional[jnp.ndarray] = None   # scalar TR radius
     omega: Optional[jnp.ndarray] = None   # scalar slack weight
+    zf: Optional[jnp.ndarray] = None      # (nz,) terminal target (Qzf)
 
 
 class CondensedSpec:
@@ -54,11 +55,12 @@ class CondensedSpec:
 
     def __init__(self, N: int, H, Qz, R, U=None, dU=None, X=None,
                  nonlinear_observer: bool = False, trust_region: bool = False,
-                 x_char=None, dtype=jnp.float32):
+                 x_char=None, dtype=jnp.float32, Qzf=None):
         self.N = int(N)
         self.H = np.asarray(H)
         self.n_z, self.n_x = self.H.shape
         self.Qz = np.asarray(Qz)
+        self.Qzf = None if Qzf is None else np.asarray(Qzf)
         self.R = np.asarray(R)
         self.n_u = self.R.shape[0]
         self.U, self.dU, self.X = U, dU, X
@@ -149,6 +151,19 @@ class CondensedSpec:
                              precision=hi)
         q = 2.0 * jnp.einsum("kiv,ij,kj->v", HG[1:], Qz, e[1:], precision=hi)
         const = jnp.einsum("ki,ij,kj->", e, Qz, e, precision=hi)
+        if self.Qzf is not None:
+            # terminal cost (H_N x_N + c_N - zf)' Qzf (...) on top of the
+            # stage costs, matching the sparse LOCP (locp.py:14,275-304)
+            Qzf = jnp.asarray(self.Qzf, dt_)
+            zf = (jnp.zeros(nz, dt_) if params.zf is None
+                  else params.zf.astype(dt_))
+            ef = jnp.einsum("ij,j->i", Hk[N], xfree[N], precision=hi) \
+                + zoff[N] - zf
+            P = P + 2.0 * jnp.einsum("iv,ij,jw->vw", HG[N], Qzf, HG[N],
+                                     precision=hi)
+            q = q + 2.0 * jnp.einsum("iv,ij,j->v", HG[N], Qzf, ef,
+                                     precision=hi)
+            const = const + ef @ mm(Qzf, ef)
         Rb = jnp.kron(jnp.eye(N, dtype=dt_), jnp.asarray(self.R, dt_))
         P = P + 2.0 * Rb
         ud = params.u_des.astype(dt_).reshape(-1)
@@ -244,9 +259,9 @@ class CondensedLOCPAdapter:
                  dU=None, x_char=None, nonlinear_observer=False,
                  verbose=False, warm_start=True, dtype=jnp.float64,
                  is_tr_active=True, **solver_kwargs):
-        if Qzf is not None or Xf is not None:
+        if Xf is not None:
             raise NotImplementedError(
-                "condensed backend supports the no-terminal-cost/set LOCP")
+                "condensed backend supports the no-terminal-set LOCP")
         # is_tr_active=False drops the slacked trust region entirely — the
         # right mode for max_gusto_iters=0 real-time MPC (one LOCP per
         # query; diamond_SSM.py:361): the slack's dual converges slowly
@@ -255,7 +270,9 @@ class CondensedLOCPAdapter:
                                   np.asarray(R), U=U, dU=dU, X=X,
                                   nonlinear_observer=bool(nonlinear_observer),
                                   trust_region=bool(is_tr_active),
-                                  x_char=x_char, dtype=dtype)
+                                  x_char=x_char, dtype=dtype,
+                                  Qzf=None if Qzf is None
+                                  else np.asarray(Qzf))
         self.warm_start = bool(warm_start)
         self.solve_time = 0.0
         self._params = None
@@ -291,6 +308,7 @@ class CondensedLOCPAdapter:
             x0=jnp.asarray(x0, dt),
             z=(jnp.zeros((N + 1, nz), dt) if z is None
                else jnp.asarray(z, dt)),
+            zf=None if zf is None else jnp.asarray(zf, dt),
             u_des=(jnp.zeros((N, nu), dt) if u is None
                    else jnp.asarray(u, dt)),
             Hd=(jnp.asarray(np.asarray(Hd), dt) if Hd is not None

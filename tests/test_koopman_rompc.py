@@ -242,3 +242,26 @@ def test_linear_mpc_on_reference_koopman_artifact(koopman_model):
     y0 = km.C @ x[0]
     yN = km.C @ x[-1]
     assert np.linalg.norm(yN - 0.1) < np.linalg.norm(y0 - 0.1)
+
+
+def test_linear_rom_prefers_discrete_family(pipeline):
+    """tpwl_to_linear_rom carries the dictionary's discrete family and
+    LinearROM uses it verbatim at matching dt: at tet scale the ZOH of the
+    stiff continuous Galerkin point is unstable (spectral radius > 1) while
+    the projected implicit step map is stable."""
+    plant, rom, model, Hf, Cf, X, _ = pipeline
+    from soft_robot_control_tpu.models.linear import tpwl_to_linear_rom
+
+    dt = 0.02
+    Ad0 = np.asarray(model.A_c[0]) * 0.0 + 0.5 * np.eye(model.A_c.shape[1])
+    data = {"A_c": np.asarray(model.A_c), "B_c": np.asarray(model.B_c),
+            "d_c": np.asarray(model.d_c), "rom_info": rom.get_info(),
+            "A_d": Ad0[None], "B_d": np.asarray(model.B_c)[:1] * dt,
+            "d_d": np.asarray(model.d_c)[:1] * dt, "dt": dt}
+    out = tpwl_to_linear_rom(data)
+    assert "A_d" in out and out["dt"] == dt
+    lin = LinearROM(out, dt, Cf=Cf, Hf=Hf)
+    np.testing.assert_allclose(np.asarray(lin.A_d), Ad0, atol=0)
+    # dt mismatch falls back to ZOH of the continuous point
+    lin2 = LinearROM(out, dt / 2, Cf=Cf, Hf=Hf)
+    assert not np.allclose(np.asarray(lin2.A_d), Ad0)

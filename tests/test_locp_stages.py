@@ -250,3 +250,36 @@ def test_gusto_long_horizon_stage_backend():
     # end of trajectory near the end of the target line
     assert np.linalg.norm(xopt[-1, :2] - [4.0, 2.0]) < 0.6, xopt[-1]
     assert np.all(uopt[:, 0] >= -1e-5) and np.all(uopt[:, 0] <= 1 + 1e-5)
+
+
+def test_condensed_terminal_cost_matches_dense():
+    """CondensedLOCPAdapter with Qzf reproduces the sparse LOCP optimum
+    including the terminal (H x_N + c_N - zf)' Qzf (...) term
+    (locp.py:14,275-304)."""
+    from soft_robot_control_tpu.scp.locp import LOCP
+    from soft_robot_control_tpu.scp.locp_condensed import CondensedLOCPAdapter
+
+    N, nx, nu, nz = 8, 5, 2, 2
+    H, Qz, R, U, dU, X, Ad, Bd, dd, x0, z = _problem(with_sets=False)
+    U = HyperRectangle(np.ones(nu), -np.ones(nu))
+    Qzf = np.diag([3.0, 7.0])
+    rng = np.random.default_rng(9)
+    zf = rng.normal(size=nz)
+
+    xk = np.zeros((N + 1, nx))
+    dense = LOCP(N, H, Qz, R, Qzf=Qzf, U=U, is_tr_active=False,
+                 warm_start=False)
+    dense.update(Ad, Bd, dd, x0, xk, 0.0, 0.0, z=z, zf=zf)
+    Jd, okd, _ = dense.solve()
+    xd, ud, _ = dense.get_solution()
+
+    cond = CondensedLOCPAdapter(N, H, Qz, R, Qzf=Qzf, U=U,
+                                is_tr_active=False, warm_start=False)
+    cond.update(Ad, Bd, dd, x0, xk, 0.0, 0.0, z=z, zf=zf)
+    Jc, okc, _ = cond.solve()
+    xc, uc, _ = cond.get_solution()
+
+    assert okd and okc
+    np.testing.assert_allclose(Jc, Jd, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(uc), np.asarray(ud), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(xc), np.asarray(xd), atol=2e-5)

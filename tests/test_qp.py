@@ -134,3 +134,26 @@ def test_qp_badly_scaled():
             assert g[i] <= 1e-5 * max(1.0, np.abs(g).max())
         else:
             assert abs(g[i]) <= 1e-4 * max(1.0, np.abs(g).max())
+
+
+def test_qp_vacuous_zero_row_f32():
+    """A zero constraint row (the condensed LOCP's unconstrained
+    placeholder) must not blow up the Ruiz scaling: 1/sqrt(eps) compounded
+    per iteration overflows the accumulated row scale in float32 and turned
+    every unconstrained ROMPC linear-MPC solve into NaN duals."""
+    rng = np.random.default_rng(5)
+    n = 8
+    Ph = rng.normal(size=(n, n)).astype(np.float32)
+    P = Ph @ Ph.T + 0.5 * np.eye(n, dtype=np.float32)
+    q = rng.normal(size=n).astype(np.float32)
+    A = np.zeros((1, n), dtype=np.float32)
+    l = np.full(1, -1e30, dtype=np.float32)
+    u = np.full(1, 1e30, dtype=np.float32)
+    sol = solve_qp_dense(jnp.asarray(P), jnp.asarray(q), jnp.asarray(A),
+                         jnp.asarray(l), jnp.asarray(u),
+                         eps_abs=1e-5, eps_rel=1e-5)
+    x = np.asarray(sol.x)
+    assert np.isfinite(x).all()
+    assert np.isfinite(float(sol.dua_res))
+    x_unc = np.linalg.solve(np.asarray(P, np.float64), -np.asarray(q, np.float64))
+    np.testing.assert_allclose(x, x_unc, atol=5e-4)
