@@ -87,8 +87,37 @@ def main():
 
     results = {}
 
+    def score(sim):
+        """Tracking RMSE vs the delay-shifted target + mean solve time."""
+        z = np.asarray(sim["z"])
+        t = np.asarray(sim["t"])
+        zt = np.stack([np.interp(t - 1.0, tt, z_target[:, j])
+                       for j in range(3)], axis=1)
+        act = t >= 2.0
+        rmse = float(np.sqrt(np.mean(np.sum(
+            (z[act][:, :2] - zt[act][:, :2]) ** 2, axis=1))))
+        st = np.asarray(sim.get("info", {}).get("solve_times", []))
+        return {"tracking_rmse_mm": rmse,
+                "solve_ms_mean": float(st.mean() * 1e3) if st.size else None}
+
+    def rescore_existing(prefix):
+        """A skipped leg keeps its previously-computed result (re-scored
+        from the persisted sim pkl) instead of dropping out of the JSON."""
+        import pickle
+        p = os.path.join(d, f"{prefix}_sim.pkl")
+        if os.path.exists(p):
+            with open(p, "rb") as f:
+                return score(pickle.load(f))
+        return None
+
     # ---- ROMPC ----------------------------------------------------------
-    if not args.skip_rompc:
+    if args.skip_rompc:
+        r = rescore_existing("rompc")
+        if r is not None:
+            results["rompc"] = r
+            print(f"[{time.time()-t0:6.1f}s] ROMPC (re-scored from existing "
+                  f"sim): RMSE {r['tracking_rmse_mm']:.2f} mm", flush=True)
+    else:
         Qz = np.diag([100.0, 100.0, 0.0])
         R = 1e-4 * np.eye(4)
         backend = "dense" if np_dtype_name == "float64" else "condensed"
@@ -96,24 +125,18 @@ def main():
                                 Qz=Qz, R=R, sim_duration=args.sim_duration,
                                 delay=1.0, save_prefix="rompc",
                                 locp_backend=backend)
-        z = np.asarray(sim["z"])
-        t = np.asarray(sim["t"])
-        # vs the delay-shifted target (controller plan-clock semantics)
-        zt = np.stack([np.interp(t - 1.0, tt, z_target[:, j])
-                       for j in range(3)], axis=1)
-        act = t >= 2.0
-        rmse = float(np.sqrt(np.mean(np.sum(
-            (z[act][:, :2] - zt[act][:, :2]) ** 2, axis=1))))
-        st = np.asarray(sim.get("info", {}).get("solve_times", []))
-        results["rompc"] = {
-            "tracking_rmse_mm": rmse,
-            "solve_ms_mean": float(st.mean() * 1e3) if st.size else None,
-        }
-        print(f"[{time.time()-t0:6.1f}s] ROMPC figure-8: RMSE {rmse:.2f} mm",
-              flush=True)
+        results["rompc"] = score(sim)
+        print(f"[{time.time()-t0:6.1f}s] ROMPC figure-8: RMSE "
+              f"{results['rompc']['tracking_rmse_mm']:.2f} mm", flush=True)
 
     # ---- Koopman --------------------------------------------------------
-    if not args.skip_koopman:
+    if args.skip_koopman:
+        r = rescore_existing("koopman")
+        if r is not None:
+            results["koopman"] = r
+            print(f"[{time.time()-t0:6.1f}s] Koopman (re-scored from existing"
+                  f" sim): RMSE {r['tracking_rmse_mm']:.2f} mm", flush=True)
+    else:
         # run_koopman trains natively (EDMD) and tracks targets in the
         # model's scaled output coordinates; pass absolute tip targets and
         # let the recipe normalize with the training scaling
@@ -123,21 +146,9 @@ def main():
             rollout_horizon=4, sim_duration=args.sim_duration, delay=1.0,
             nbr_samples=args.koopman_samples, save_prefix="koopman",
             absolute_targets=True, locp_backend=backend)
-        z = np.asarray(sim["z"])
-        t = np.asarray(sim["t"])
-        # vs the delay-shifted target (controller plan-clock semantics)
-        zt = np.stack([np.interp(t - 1.0, tt, z_target[:, j])
-                       for j in range(3)], axis=1)
-        act = t >= 2.0
-        rmse = float(np.sqrt(np.mean(np.sum(
-            (z[act][:, :2] - zt[act][:, :2]) ** 2, axis=1))))
-        st = np.asarray(sim.get("info", {}).get("solve_times", []))
-        results["koopman"] = {
-            "tracking_rmse_mm": rmse,
-            "solve_ms_mean": float(st.mean() * 1e3) if st.size else None,
-        }
+        results["koopman"] = score(sim)
         print(f"[{time.time()-t0:6.1f}s] Koopman MPC figure-8: RMSE "
-              f"{rmse:.2f} mm", flush=True)
+              f"{results['koopman']['tracking_rmse_mm']:.2f} mm", flush=True)
 
     results["figure8_amp_mm"] = [15.0, 7.5]
     results["sim_duration_s"] = args.sim_duration

@@ -74,7 +74,12 @@ class iLQR:
             return model.get_jacobians(x, dt=dt_, u=u)
 
         # ---------------- forward pass (jitted scan) ----------------------
+        # both scans trace under HIGHEST matmul precision: TPU's default f32
+        # matmul runs bf16 passes, and the backward Riccati recursion is
+        # roundoff-sensitive (see the symmetrization note below); the
+        # matrices are (r, r) with r ~ 30, so MXU cost is irrelevant
         @jax.jit
+        @jax.default_matmul_precision("highest")
         def forward(x0, x_prev, u_prev, K, k, alpha, z_target, u_last):
             def z_of(x):
                 return H @ x + z_ref
@@ -103,6 +108,7 @@ class iLQR:
 
         # ---------------- backward pass (jitted scan) ----------------------
         @jax.jit
+        @jax.default_matmul_precision("highest")
         def backward(x, u, A, B, z_target, u_last, rho):
             HQ = H.T @ Q
             c_xx = H.T @ Q @ H
@@ -147,6 +153,12 @@ class iLQR:
                 k_t = -Q_uu_t_inv @ Q_u
                 p_new = Q_x + K_t.T @ Q_uu @ k_t + K_t.T @ Q_u + Q_ux.T @ k_t
                 P_new = Q_xx + K_t.T @ Q_uu @ K_t + K_t.T @ Q_ux + Q_ux.T @ K_t
+                # re-symmetrize: roundoff asymmetry in K'Quu K + K'Qux +
+                # Qux'K amplifies through A'PA and overflows the recursion
+                # within ~50 steps at ANY precision (measured on the trunk
+                # tet dictionary: f32 blows up at step 43, f64 at 73;
+                # symmetrized holds ||P|| ~ 11 for 1100 steps)
+                P_new = 0.5 * (P_new + P_new.T)
                 return (p_new, P_new, ok), (K_t, k_t, Q_u, Q_uu)
 
             inputs = (x[:-1][::-1], u[::-1], A[::-1], B[::-1],

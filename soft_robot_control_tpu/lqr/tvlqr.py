@@ -28,6 +28,7 @@ def interp_rows(t_query, t_grid, X):
 
 
 @jax.jit
+@jax.default_matmul_precision("highest")
 def tv_lqr_backward(A, B, Q, R):
     """Backward recursion over stacked Jacobians A (T,n,n), B (T,n,m).
 
@@ -39,6 +40,9 @@ def tv_lqr_backward(A, B, Q, R):
         K_t = -jnp.linalg.solve(R + B_t.T @ P @ B_t, B_t.T @ P @ A_t)
         Acl = A_t + B_t @ K_t
         P_new = Q + K_t.T @ R @ K_t + Acl.T @ P @ Acl
+        # re-symmetrize: roundoff asymmetry amplifies through Acl'P Acl
+        # over long horizons (see lqr/ilqr.py backward for the measurement)
+        P_new = 0.5 * (P_new + P_new.T)
         return P_new, (K_t, P_new)
 
     # scan over reversed time

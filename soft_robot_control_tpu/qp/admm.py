@@ -147,8 +147,6 @@ class _ADMMCarry(NamedTuple):
     done: jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=("max_iter", "check_every", "polish",
-                                   "adaptive_rho", "scaling_iters"))
 def solve_qp_dense(P, q, A, l, u,
                    x0: Optional[jnp.ndarray] = None,
                    y0: Optional[jnp.ndarray] = None,
@@ -160,7 +158,33 @@ def solve_qp_dense(P, q, A, l, u,
                    scaling_iters: int = 10) -> QPSolution:
     """Solve the QP with OSQP semantics. All args dense; jittable; warm-start
     via (x0, y0). Defaults target 1e-8 residuals (tighter than OSQP's 1e-3
-    because downstream parity tests demand 1e-6 trajectories)."""
+    because downstream parity tests demand 1e-6 trajectories).
+
+    Traced under HIGHEST matmul precision: TPU's default f32 matmul runs
+    bf16 passes, which stalls ADMM on badly-scaled QPs (the trunk campaign's
+    N=50 x 8-cable condensed LOCP failed on TPU while the same f32 problem
+    solved on CPU). These QPs are small, so the MXU cost is irrelevant."""
+    with jax.default_matmul_precision("highest"):
+        return _solve_qp_dense_impl(
+            P, q, A, l, u, x0=x0, y0=y0, rho=rho, sigma=sigma, alpha=alpha,
+            eps_abs=eps_abs, eps_rel=eps_rel, max_iter=max_iter,
+            check_every=check_every, polish=polish,
+            adaptive_rho=adaptive_rho, rho_every=rho_every,
+            scaling_iters=scaling_iters)
+
+
+@partial(jax.jit, static_argnames=("max_iter", "check_every", "polish",
+                                   "adaptive_rho", "scaling_iters"))
+def _solve_qp_dense_impl(P, q, A, l, u,
+                         x0: Optional[jnp.ndarray] = None,
+                         y0: Optional[jnp.ndarray] = None,
+                         rho: float = 0.1, sigma: float = 1e-6,
+                         alpha: float = 1.6,
+                         eps_abs: float = 1e-8, eps_rel: float = 1e-8,
+                         max_iter: int = 4000, check_every: int = 25,
+                         polish: bool = True, adaptive_rho: bool = True,
+                         rho_every: int = 200,
+                         scaling_iters: int = 10) -> QPSolution:
     dtype = P.dtype
     n, m = P.shape[0], A.shape[0]
     P0, q0, A0, l0, u0 = P, q, A, l, u

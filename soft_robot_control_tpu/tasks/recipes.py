@@ -356,15 +356,22 @@ def run_koopman(robot, save_dir: str, t_target, z_target_scaled, delay_embed=2,
                            locp_backend=locp_backend)
     ctrl = KoopmanMPC(km, delay=delay, wait=True, solver_service=svc,
                       rollout_horizon=rollout_horizon)
-    return _run_and_save(robot, ctrl, sim_duration, save_dir, save_prefix)
+    # the Koopman model lives in output coordinates: the controller must be
+    # fed the performance output y = Hf x (the reference measures exactly the
+    # output nodes, diamond_koopman.py:180-195), not the full pos+vel
+    # measurement used by the state-space observers.
+    return _run_and_save(robot, ctrl, sim_duration, save_dir, save_prefix,
+                         measurement_matrix=Hf)
 
 
 # ---------------------------------------------------------------------------
 
 
-def _run_and_save(robot, controller, sim_duration, save_dir, save_prefix):
+def _run_and_save(robot, controller, sim_duration, save_dir, save_prefix,
+                  measurement_matrix=None):
     Hf = robot.get_output_model()
-    Cf = robot.get_measurement_model()
+    Cf = robot.get_measurement_model() if measurement_matrix is None \
+        else measurement_matrix
 
     class _Lin:
         def __init__(self, M):
