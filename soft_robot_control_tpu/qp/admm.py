@@ -155,26 +155,41 @@ def solve_qp_dense(P, q, A, l, u,
                    max_iter: int = 4000, check_every: int = 25,
                    polish: bool = True, adaptive_rho: bool = True,
                    rho_every: int = 200,
-                   scaling_iters: int = 10) -> QPSolution:
+                   scaling_iters: int = 10,
+                   x_solver: str = "auto") -> QPSolution:
     """Solve the QP with OSQP semantics. All args dense; jittable; warm-start
     via (x0, y0). Defaults target 1e-8 residuals (tighter than OSQP's 1e-3
     because downstream parity tests demand 1e-6 trajectories).
+
+    x_solver picks the per-iteration x-step linear solve:
+    - 'chol': Cholesky factor + cho_solve. Best on CPU, but the triangular
+      substitution sequentializes on TPU and dominates latency (measured:
+      the trunk campaign's 400-var condensed LOCP spent ~300 ms in 225
+      iterations of cho_solve(401)).
+    - 'kinv': explicit K^-1 (Jacobi-scaled blocked Cholesky + blocked
+      triangular inverse + one Newton step, qp/blocked.py) so every
+      iteration is one MXU matmul. Same accuracy at the solver's residual
+      targets; refactorization on rho updates rebuilds K^-1.
+    - 'auto' (default): 'kinv' on TPU, 'chol' elsewhere.
 
     Traced under HIGHEST matmul precision: TPU's default f32 matmul runs
     bf16 passes, which stalls ADMM on badly-scaled QPs (the trunk campaign's
     N=50 x 8-cable condensed LOCP failed on TPU while the same f32 problem
     solved on CPU). These QPs are small, so the MXU cost is irrelevant."""
+    if x_solver == "auto":
+        x_solver = "kinv" if jax.default_backend() == "tpu" else "chol"
     with jax.default_matmul_precision("highest"):
         return _solve_qp_dense_impl(
             P, q, A, l, u, x0=x0, y0=y0, rho=rho, sigma=sigma, alpha=alpha,
             eps_abs=eps_abs, eps_rel=eps_rel, max_iter=max_iter,
             check_every=check_every, polish=polish,
             adaptive_rho=adaptive_rho, rho_every=rho_every,
-            scaling_iters=scaling_iters)
+            scaling_iters=scaling_iters, x_solver=x_solver)
 
 
 @partial(jax.jit, static_argnames=("max_iter", "check_every", "polish",
-                                   "adaptive_rho", "scaling_iters"))
+                                   "adaptive_rho", "scaling_iters",
+                                   "x_solver"))
 def _solve_qp_dense_impl(P, q, A, l, u,
                          x0: Optional[jnp.ndarray] = None,
                          y0: Optional[jnp.ndarray] = None,
@@ -184,7 +199,8 @@ def _solve_qp_dense_impl(P, q, A, l, u,
                          max_iter: int = 4000, check_every: int = 25,
                          polish: bool = True, adaptive_rho: bool = True,
                          rho_every: int = 200,
-                         scaling_iters: int = 10) -> QPSolution:
+                         scaling_iters: int = 10,
+                         x_solver: str = "chol") -> QPSolution:
     dtype = P.dtype
     n, m = P.shape[0], A.shape[0]
     P0, q0, A0, l0, u0 = P, q, A, l, u
@@ -202,8 +218,13 @@ def _solve_qp_dense_impl(P, q, A, l, u,
     eq = jnp.isfinite(l) & jnp.isfinite(u) & (jnp.abs(u - l) <= 1e-14 * (1 + jnp.abs(u)))
     rho_scale = jnp.where(eq, OSQP_RHO_EQ_SCALE, 1.0)
 
+    use_kinv = x_solver == "kinv"
+
     def factor(rho_s):
         rhov = rho_s * rho_scale
+        if use_kinv:
+            from soft_robot_control_tpu.qp.blocked import make_kinv
+            return make_kinv(P, A, rhov, sigma=sigma)
         K = P + sigma * jnp.eye(n, dtype=dtype) + (A.T * rhov[None, :]) @ A
         return jnp.linalg.cholesky(K)
 
@@ -240,7 +261,10 @@ def _solve_qp_dense_impl(P, q, A, l, u,
     def body(c: _ADMMCarry):
         rhov = c.rho * rho_scale
         rhs = sigma * c.x - q + A.T @ (rhov * c.z - c.y)
-        x_t = jax.scipy.linalg.cho_solve((c.chol, True), rhs)
+        if use_kinv:
+            x_t = c.chol @ rhs
+        else:
+            x_t = jax.scipy.linalg.cho_solve((c.chol, True), rhs)
         z_t = A @ x_t
         x_new = alpha * x_t + (1 - alpha) * c.x
         z_rel = alpha * z_t + (1 - alpha) * c.z

@@ -94,6 +94,9 @@ class GuSTO:
         self.f_char = np.asarray(kwargs.pop("f_char", np.ones(self.n_x)), float)
         self.f_scale = 1.0 / np.abs(self.f_char)
         kwargs.pop("jit", None)
+        # oneshot=False forces the host loop even in the real-time config
+        # (used by tests to pin fast-path/host-path equivalence)
+        self._use_oneshot = bool(kwargs.pop("oneshot", True))
 
         self.nonlinear_observer = bool(getattr(model, "nonlinear_observer", False))
 
@@ -150,6 +153,25 @@ class GuSTO:
         self.locp_solve_time = None
         self.itr_count = 0
 
+        # Real-time one-shot path: with max_gusto_iters=0, the condensed
+        # backend and no trust region (the reference's real-time MPC mode,
+        # examples/hardware/diamond_SSM.py:361), the whole solve —
+        # linearization along the warm-start trajectory, condensed QP
+        # assembly, ADMM, x/z recovery — fuses into ONE jitted device call.
+        # The host loop's per-solve overhead (device->host->device jacobian
+        # bounce in locp.update, separate rollout/accuracy/convergence
+        # dispatches) measured ~430 ms of the trunk campaign's ~730 ms
+        # solves on the tunneled TPU; this path eliminates it.
+        self._oneshot = None
+        self._warm_start = bool(warm_start)
+        if (locp_backend == "condensed" and max_iters_later == 0
+                and not self.locp.spec.trust_region
+                and self._use_oneshot):
+            self._oneshot = self._build_oneshot()
+            sdt = self.locp.spec.dtype
+            self._os_w = jnp.zeros((self.locp.spec.n_var,), sdt)
+            self._os_y = jnp.zeros((self.locp.spec.n_con,), sdt)
+
         # First solve happens at construction, like the reference
         self.solve(x0, u_init, x_init, z, zf, u)
         self.params.max_gusto_iters = max_iters_later
@@ -193,8 +215,99 @@ class GuSTO:
         return float(err / (J + float(approx)))
 
     # ------------------------------------------------------------------
+    def _build_oneshot(self):
+        """Compile the one-LOCP MPC step as a single device program."""
+        from soft_robot_control_tpu.qp.admm import solve_qp_dense
+        from soft_robot_control_tpu.scp.locp_condensed import CondensedParams
+
+        spec = self.locp.spec
+        model = self.model
+        dt = self.dt
+        nlobs = self.nonlinear_observer
+        skw = dict(self.locp.solver_kwargs)
+        N, nx, nz, nu = spec.N, spec.n_x, spec.n_z, spec.n_u
+        H = jnp.asarray(spec.H, spec.dtype)
+
+        def step(x0, x_init, u_init, z, u_des, w0, y0):
+            Ad, Bd, dd = jax.vmap(
+                lambda x_, u_: model.get_discrete_dynamics(x_, u_, dt))(
+                    x_init[:-1], u_init)
+            if nlobs:
+                Hd, cd = jax.vmap(model.get_observer_jacobians)(x_init)
+                Hd = Hd.reshape(N + 1, nz, nx).astype(spec.dtype)
+                cd = cd.reshape(N + 1, nz).astype(spec.dtype)
+            else:
+                Hd = jnp.zeros((N + 1, nz, nx), spec.dtype)
+                cd = jnp.zeros((N + 1, nz), spec.dtype)
+            params = CondensedParams(
+                Ad=Ad.astype(spec.dtype), Bd=Bd.astype(spec.dtype),
+                dd=dd.astype(spec.dtype), x0=x0, z=z, u_des=u_des,
+                Hd=Hd, cd=cd, xk=x_init, delta=jnp.asarray(1.0, spec.dtype),
+                omega=jnp.asarray(1.0, spec.dtype))
+            P, q, A, l, ub, const, xfree, G = spec.assemble(params)
+            sol = solve_qp_dense(P, q, A, l, ub, x0=w0, y0=y0, **skw)
+            u_opt = sol.x[:N * nu].reshape(N, nu)
+            x_opt = spec.recover_x(xfree, G, sol.x)
+            if nlobs:
+                z_opt = jax.vmap(model.dyn_sys.C_map)(x_opt)
+            else:
+                z_opt = x_opt @ H.T
+            stats = jnp.stack([sol.pri_res, sol.dua_res, sol.pri_sc,
+                               sol.dua_sc,
+                               sol.solved.astype(spec.dtype),
+                               sol.obj + const])
+            return x_opt, u_opt, z_opt, sol.x, sol.y, stats
+
+        return jax.jit(step)
+
+    def _solve_oneshot(self, x0, u_init, x_init, z, u):
+        """Fast path for max_gusto_iters=0 (see __init__). Mirrors the host
+        loop's single-iteration semantics: accept on the adapter's relative
+        residual thresholds, keep the previous plan on solver failure."""
+        t0 = time.time()
+        spec = self.locp.spec
+        sdt = spec.dtype
+        N, nz, nu = spec.N, spec.n_z, spec.n_u
+        z_arr = np.zeros((N + 1, nz)) if z is None else np.asarray(z)
+        u_des = np.zeros((N, nu)) if u is None else np.asarray(u)
+        x_opt, u_opt, z_opt, w, y, stats = self._oneshot(
+            jnp.asarray(np.asarray(x0), sdt),
+            jnp.asarray(np.asarray(x_init), sdt),
+            jnp.asarray(np.asarray(u_init), sdt),
+            jnp.asarray(z_arr, sdt), jnp.asarray(u_des, sdt),
+            self._os_w, self._os_y)
+        st = np.asarray(stats, float)
+        if sdt == jnp.float32:
+            acc_pri, acc_dua = 1e-3, 1e-2
+        else:
+            acc_pri, acc_dua = 1e-5, 1e-4
+        pri_rel = st[0] / max(1.0, st[2])
+        dua_rel = st[1] / max(1.0, st[3])
+        success = bool(st[4]) or (pri_rel < acc_pri and dua_rel < acc_dua)
+        if success:
+            self.xopt = np.asarray(x_opt, float)
+            self.uopt = np.asarray(u_opt, float)
+            self.zopt = np.asarray(z_opt, float)
+            if self._warm_start:
+                self._os_w, self._os_y = w, y
+        else:
+            # same failure semantics as the host loop: return the previous
+            # iterate so the controller keeps flying the old plan
+            print("one-shot LOCP not accepted "
+                  f"(pri_rel {pri_rel:.2e}, dua_rel {dua_rel:.2e})")
+            self.xopt = np.asarray(x_init, float)
+            self.uopt = np.asarray(u_init, float)
+            self.zopt = self._z_of(self.xopt)
+        self.itr_count = 1
+        self.locp_solve_time = time.time() - t0
+        self.x_k = self.xopt
+        self.u_k = self.uopt
+        return
+
     def solve(self, x0, u_init, x_init, z=None, zf=None, u=None):
         """SCP iteration loop; semantics follow gusto.py:283-488."""
+        if self._oneshot is not None and self.params.max_gusto_iters == 0:
+            return self._solve_oneshot(x0, u_init, x_init, z, u)
         t0 = time.time()
         t_locp = 0.0
         p = self.params

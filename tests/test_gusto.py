@@ -257,3 +257,42 @@ def test_gusto_condensed_backend_matches_dense():
                                rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(outs["condensed"][0], outs["dense"][0],
                                rtol=1e-3, atol=1e-4)
+
+
+def test_gusto_oneshot_matches_host_loop():
+    """The fused one-shot device path (max_gusto_iters=0, condensed, no
+    trust region — the campaigns' real-time MPC configuration) must produce
+    the same plans as the host single-iteration loop it replaces."""
+    model = DubinsCar()
+    N, dt = 12, 0.1
+    Qz = np.diag([1.0, 1.0, 0.0])
+    R = 0.1 * np.eye(model.n_u)
+    x0 = np.zeros(model.n_x)
+    z = np.tile(np.array([1.0, 1.0, 0.0]), (N + 1, 1))
+    U = HyperRectangle(2.0 * np.ones(model.n_u), -2.0 * np.ones(model.n_u))
+    u_init = np.zeros((N, model.n_u))
+    x_init = np.asarray(model.rollout(x0, u_init, dt))
+
+    def make(oneshot):
+        return GuSTO(model, N, dt, Qz, R, x0, u_init, x_init, z=z, U=U,
+                     verbose=0, max_gusto_iters=0, is_tr_active=False,
+                     locp_backend="condensed", oneshot=oneshot)
+
+    g_fast = make(True)
+    g_host = make(False)
+    assert g_fast._oneshot is not None
+    assert g_host._oneshot is None
+
+    # warm-started replans from slightly different states, like a closed loop
+    for k in range(3):
+        xk = x0 + 0.05 * k
+        u_ws = np.asarray(g_host.uopt)
+        x_ws = np.asarray(model.rollout(xk, u_ws, dt))
+        g_fast.solve(xk, u_ws, x_ws, z=z)
+        g_host.solve(xk, u_ws, x_ws, z=z)
+        np.testing.assert_allclose(g_fast.uopt, g_host.uopt,
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(g_fast.xopt, g_host.xopt,
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(g_fast.zopt, g_host.zopt,
+                                   rtol=1e-4, atol=1e-5)

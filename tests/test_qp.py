@@ -157,3 +157,26 @@ def test_qp_vacuous_zero_row_f32():
     assert np.isfinite(float(sol.dua_res))
     x_unc = np.linalg.solve(np.asarray(P, np.float64), -np.asarray(q, np.float64))
     np.testing.assert_allclose(x, x_unc, atol=5e-4)
+
+
+def test_qp_kinv_x_solver_matches_chol():
+    """x_solver='kinv' (explicit refined K^-1, the TPU mode where
+    per-iteration triangular solves sequentialize) must reach the same
+    solution as the Cholesky x-step on a constrained and a box QP."""
+    rng = np.random.default_rng(11)
+    n, m = 40, 60
+    M = rng.normal(size=(n, n))
+    P = M @ M.T + 0.1 * np.eye(n)
+    q = rng.normal(size=n)
+    A = rng.normal(size=(m, n))
+    l = -np.ones(m)
+    u = np.ones(m)
+    s_chol = solve_qp_dense(jnp.asarray(P), jnp.asarray(q), jnp.asarray(A),
+                            jnp.asarray(l), jnp.asarray(u), x_solver="chol")
+    s_kinv = solve_qp_dense(jnp.asarray(P), jnp.asarray(q), jnp.asarray(A),
+                            jnp.asarray(l), jnp.asarray(u), x_solver="kinv")
+    assert bool(s_chol.solved) and bool(s_kinv.solved)
+    np.testing.assert_allclose(np.asarray(s_kinv.x), np.asarray(s_chol.x),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(float(s_kinv.obj), float(s_chol.obj),
+                               rtol=1e-8, atol=1e-9)
