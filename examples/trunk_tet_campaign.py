@@ -102,7 +102,17 @@ def main():
 
     d = args.out
     os.makedirs(d, exist_ok=True)
-    summary = {"platform": dtype}
+    # partial reruns (--skip-collect / --skip-mpc / --skip-ilqr) refresh only
+    # their own fields; start from the previous summary so the rest survive
+    summary = {}
+    summary_path = os.path.join(d, "trunk_tpwl_campaign.json")
+    if os.path.exists(summary_path):
+        try:
+            with open(summary_path) as f:
+                summary = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            summary = {}
+    summary["platform"] = dtype
 
     if not args.skip_collect:
         snap = recipes.collect_pod_data(robot, d, nbr_samples=args.samples,
