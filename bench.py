@@ -238,6 +238,13 @@ def main():
     QUALITY_GATE = 0.05
     quality_ok = bool(track_cond <= QUALITY_GATE)
 
+    # THROUGHPUT FLOOR (VERDICT r3 #9): quality and speed must not silently
+    # trade against each other — the quality-gated batched MPC throughput
+    # may not drop more than 20% below the last committed reference number
+    # (r3: 29.5k windows/s on TPU v5e). Both gates fail the bench loudly.
+    THROUGHPUT_FLOOR = 0.8 * 29500.0
+    throughput_ok = bool(batch_mpc_steps_per_sec >= THROUGHPUT_FLOOR)
+
     # analytic ADMM FLOPs (lower bound: K^-1 apply + constraint matvecs per
     # iteration) -> achieved FLOP/s + fraction of v5e peak (f32 ~49 TFLOP/s)
     def admm_flops_per_window(m):
@@ -386,6 +393,8 @@ def main():
             "mpc_step_ms_sparse_pallas_50it": round(mpc_ms_pallas_sparse, 4),
             "quality_gate_rel_err_max": QUALITY_GATE,
             "quality_gate_ok": quality_ok,
+            "throughput_floor_windows_per_sec": THROUGHPUT_FLOOR,
+            "throughput_floor_ok": throughput_ok,
             "tpwl_rollouts_per_sec_1024way": round(rollouts_per_sec_fused, 1),
             "tpwl_rollouts_per_sec_1024way_exact_select": round(rollouts_per_sec, 1),
             "batched_mpc_windows_per_sec_1024way": round(batch_mpc_steps_per_sec, 1),
@@ -411,11 +420,18 @@ def main():
         },
     }
     print(json.dumps(result))
-    if not quality_ok:
+    if not quality_ok or not throughput_ok:
         import sys
 
-        print(f"QUALITY GATE FAILED: batched_mpc_rel_tracking_err_condensed "
-              f"= {track_cond:.4f} > {QUALITY_GATE}", file=sys.stderr)
+        if not quality_ok:
+            print(f"QUALITY GATE FAILED: "
+                  f"batched_mpc_rel_tracking_err_condensed "
+                  f"= {track_cond:.4f} > {QUALITY_GATE}", file=sys.stderr)
+        if not throughput_ok:
+            print(f"THROUGHPUT FLOOR FAILED: "
+                  f"batched_mpc_windows_per_sec_1024way "
+                  f"= {batch_mpc_steps_per_sec:.1f} < {THROUGHPUT_FLOOR:.1f}",
+                  file=sys.stderr)
         sys.exit(1)
 
 

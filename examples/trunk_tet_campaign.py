@@ -45,12 +45,14 @@ def main():
     ap.add_argument("--t-step", type=float, default=0.25)
     ap.add_argument("--threshold", type=float, default=15.0)
     ap.add_argument("--rom-dim", type=int, default=30)
-    ap.add_argument("--amplitude-scale", type=float, default=0.25,
-                    help="LHS excitation amplitude as a fraction of u_max; "
-                    "the reference collects Trunk data at max_amplitude=200 "
-                    "of u_max=800 (trunk.py:186) — full-amplitude data "
-                    "bends the trunk ~90 mm and starves the +/-10 mm "
-                    "figure-8 regime of dictionary points")
+    ap.add_argument("--amplitude-scale", type=str, default="0.25",
+                    help="LHS excitation amplitude as a fraction of u_max, "
+                    "or a comma-separated list of scales (multi-scale "
+                    "excitation, one LHS sequence per scale); the reference "
+                    "collects Trunk data at max_amplitude=200 of u_max=800 "
+                    "(trunk.py:186) — full-amplitude data bends the trunk "
+                    "~90 mm and starves the +/-10 mm figure-8 regime of "
+                    "dictionary points")
     ap.add_argument("--solver-N", type=int, default=50,
                     help="MPC horizon steps at the dictionary dt; 50 x "
                     "0.01 s matches the reference's 0.5 s trunk horizon "
@@ -92,6 +94,9 @@ def main():
         args.tpwl_samples = 6
         args.sim_duration = 3.0
 
+    amp = [float(v) for v in str(args.amplitude_scale).split(",")]
+    args.amplitude_scale = amp if len(amp) > 1 else amp[0]
+
     np_dtype = np.float64 if dtype == "float64" else np.float32
     t0 = time.time()
     robot = TrunkTetRobot(dtype=np_dtype)
@@ -112,7 +117,22 @@ def main():
                 summary = json.load(f)
         except (json.JSONDecodeError, OSError):
             summary = {}
-    summary["platform"] = dtype
+    # each stage owns its fields: drop them up front when the stage will
+    # run (a partial rerun must not leave stale numbers beside fresh ones)
+    # and record the platform per stage instead of one global key
+    summary.pop("platform", None)
+    stage_fields = {
+        "collect": ["rom_dim", "tpwl_points", "heldout_rel_err",
+                    "collect_platform"],
+        "mpc": ["scp_rmse_mm", "scp_solve_ms_mean", "scp_plan_rejects",
+                "mpc_platform"],
+        "ilqr": ["ilqr_rmse_mm", "ilqr_platform"],
+    }
+    for stage, skip in (("collect", args.skip_collect),
+                        ("mpc", args.skip_mpc), ("ilqr", args.skip_ilqr)):
+        if not skip:
+            for k in stage_fields[stage]:
+                summary.pop(k, None)
 
     if not args.skip_collect:
         snap = recipes.collect_pod_data(robot, d, nbr_samples=args.samples,
@@ -143,6 +163,7 @@ def main():
         print(f"[{time.time()-t0:6.1f}s] held-out rollout: MSE "
               f"{chk['mse']:.4g}, rel err {chk['rel_err']:.4f}", flush=True)
         summary["heldout_rel_err"] = float(chk["rel_err"])
+        summary["collect_platform"] = dtype
 
     # figure-8 "infinity sign" target around the post-gravity rest tip
     # (trunk.py:299-303: -10 sin th / 10 sin 2th, period 10 s)
@@ -167,12 +188,19 @@ def main():
         # solver at the dictionary-native dt with one LOCP per query — the
         # real-time configuration the diamond campaign validated (see
         # diamond_tet_campaign.py notes on the TR epigraph at this scale)
+        # oneshot_iters=2 relinearizes once inside the fused device call;
+        # plan_bound rejects plans whose PLANNED tip leaves a 40 mm envelope
+        # of the target (the +-10/12.5 mm figure-8 never needs more) — the
+        # two guards that keep the real-time one-LOCP mode from flying model
+        # extrapolations (round-3 regression: 380 mm planned excursions)
         sim = recipes.run_scp(robot, d, tt, z_target, dt_solver=robot.dt,
                               N=args.solver_N, N_replan=2, Qz=Qz, R=R,
                               sim_duration=args.sim_duration, delay=1.0,
                               U=U, save_prefix="scp_fig8",
                               max_gusto_iters=0, is_tr_active=False,
-                              locp_backend="condensed", dtype=jdtype)
+                              locp_backend="condensed", dtype=jdtype,
+                              oneshot_iters=2, plan_bound=40.0,
+                              u_sat=args.u_bound)
         z = np.asarray(sim["z"])
         t = np.asarray(sim["t"])
         # score vs z_target(t - delay): the controller plan clock starts at
@@ -185,16 +213,22 @@ def main():
         print(f"[{time.time()-t0:6.1f}s] GuSTO MPC figure-8: tracking RMSE "
               f"{rmse:.3f} mm (vs delay-shifted target)", flush=True)
         summary["scp_rmse_mm"] = rmse
+        summary["mpc_platform"] = dtype
         st = np.asarray(sim.get("info", {}).get("solve_times", []))
         if st.size:
             summary["scp_solve_ms_mean"] = float(st.mean() * 1e3)
 
     if not args.skip_ilqr:
         # BASELINE config 2: Trunk iLQR on the TPWL ROM (trunk.py:327-380)
+        # u_sat bounds the applied command at the dictionary's training
+        # envelope — the LQR feedback term is invisible to the planner's U
+        # bound, and unsaturated it pins all 8 cables at the 800 plant limit
+        # once model error accumulates (see _run_and_save docstring)
         sim = recipes.run_ilqr(robot, d, tt, z_target, Qz=Qz,
                                R=1e-4 * np.eye(8),
                                sim_duration=args.sim_duration, delay=1.0,
-                               tf=args.sim_duration, save_prefix="ilqr_fig8")
+                               tf=args.sim_duration, save_prefix="ilqr_fig8",
+                               u_sat=args.u_bound)
         z = np.asarray(sim["z"])
         t = np.asarray(sim["t"])
         zt = np.stack([np.interp(t - 1.0, tt, z_target[:, j])
@@ -205,11 +239,24 @@ def main():
         print(f"[{time.time()-t0:6.1f}s] iLQR figure-8: tracking RMSE "
               f"{rmse:.3f} mm (vs delay-shifted target)", flush=True)
         summary["ilqr_rmse_mm"] = rmse
+        summary["ilqr_platform"] = dtype
 
     with open(os.path.join(d, "trunk_tpwl_campaign.json"), "w") as f:
         json.dump(summary, f, indent=1)
     print(f"[{time.time()-t0:6.1f}s] saved trunk_tpwl_campaign.json",
           flush=True)
+
+    # fail loudly if this run regressed its own committed quality gates
+    # (round-3 lesson: never persist campaign artifacts without running them)
+    import subprocess
+    rc = subprocess.call([sys.executable, "-m", "pytest", "-q",
+                          os.path.join(os.path.dirname(os.path.dirname(
+                              os.path.abspath(__file__))), "tests",
+                              "test_trunk_campaign_artifacts.py")],
+                         env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    if rc != 0:
+        print("ARTIFACT GATES FAILED — do not commit this run", flush=True)
+        sys.exit(rc)
 
 
 if __name__ == "__main__":

@@ -73,6 +73,53 @@ class LinearMPCService:
         self._thread: Optional[threading.Thread] = None
         self._lock = threading.Lock()
 
+        # Fused LTI one-shot (condensed backend): the dynamics are constant,
+        # so the replicated (A_d, B_d, d_d) live on device once and each
+        # solve ships only (x0, targets, warm start) up and (x, u) back —
+        # one dispatch instead of the adapter's per-solve parameter upload.
+        # Measured on the tunneled TPU this is the difference between
+        # ~330 ms and well under the reference's 300 ms replan budget
+        # (baselines/ros.py runs the same TR-off LOCP synchronously).
+        self._fused = None
+        if locp_backend == "condensed":
+            import jax
+            import jax.numpy as jnp
+
+            from soft_robot_control_tpu.qp.admm import solve_qp_dense
+            from soft_robot_control_tpu.scp.locp_condensed import (
+                CondensedParams)
+
+            spec = self.locp.spec
+            sdt = spec.dtype
+            N_, nx, nz, nu = spec.N, spec.n_x, spec.n_z, spec.n_u
+            Ad_c = jnp.asarray(self.A_d, sdt)
+            Bd_c = jnp.asarray(self.B_d, sdt)
+            dd_c = jnp.asarray(self.d_d, sdt)
+            Hd0 = jnp.zeros((N_ + 1, nz, nx), sdt)
+            cd0 = jnp.zeros((N_ + 1, nz), sdt)
+            xk0 = jnp.zeros((N_ + 1, nx), sdt)
+            one = jnp.asarray(1.0, sdt)
+            skw = dict(self.locp.solver_kwargs)
+
+            def _step(x0, z, zf, u_des, w0, y0):
+                params = CondensedParams(
+                    Ad=Ad_c, Bd=Bd_c, dd=dd_c, x0=x0, z=z, u_des=u_des,
+                    Hd=Hd0, cd=cd0, xk=xk0, delta=one, omega=one, zf=zf)
+                P, q, A, l, ub, const, xfree, G = spec.assemble(params)
+                sol = solve_qp_dense(P, q, A, l, ub, x0=w0, y0=y0, **skw)
+                u_opt = sol.x[:N_ * nu].reshape(N_, nu)
+                x_opt = spec.recover_x(xfree, G, sol.x)
+                stats = jnp.stack([sol.pri_res, sol.dua_res, sol.pri_sc,
+                                   sol.dua_sc, sol.solved.astype(sdt)])
+                return x_opt, u_opt, sol.x, sol.y, stats
+
+            self._jnp = jnp
+            self._warm = bool(warm_start)
+            self._fused_fn = jax.jit(_step)
+            self._w = jnp.zeros((spec.n_var,), sdt)
+            self._y = jnp.zeros((spec.n_con,), sdt)
+            self._fused = True
+
     def get_target(self, t0):
         """(z, zf, u) over the horizon (baselines/ros.py get_target)."""
         tq = t0 + self.dt * np.arange(self.N + 1)
@@ -96,6 +143,9 @@ class LinearMPCService:
 
     def _solve(self, t0, x0):
         z, zf, u = self.get_target(t0)
+        if self._fused:
+            self._solve_fused(t0, x0, z, zf, u)
+            return
         xk = np.zeros((self.N + 1, self.locp.spec.n_x))
         self.locp.update(self.A_d, self.B_d, self.d_d, np.asarray(x0, float),
                          xk, 0.0, 0.0, z=z, zf=zf, u=u)
@@ -110,6 +160,50 @@ class LinearMPCService:
             else:
                 raise RuntimeError("first linear MPC solve failed")
             self.t_solve = self.locp.solve_time
+            self.topt = t0 + self.dt * np.arange(self.N + 1)
+
+    def _solve_fused(self, t0, x0, z, zf, u):
+        import time as _time
+
+        jnp = self._jnp
+        spec = self.locp.spec
+        sdt = spec.dtype
+        t_s = _time.time()
+        z_arr = np.zeros((self.N + 1, spec.n_z)) if z is None \
+            else np.asarray(z)
+        zf_arr = np.zeros(spec.n_z) if zf is None else np.asarray(zf)
+        u_arr = np.zeros((self.N, spec.n_u)) if u is None else np.asarray(u)
+        x_opt, u_opt, w, y, stats = self._fused_fn(
+            jnp.asarray(np.asarray(x0), sdt), jnp.asarray(z_arr, sdt),
+            jnp.asarray(zf_arr, sdt), jnp.asarray(u_arr, sdt),
+            self._w, self._y)
+        st = np.asarray(stats, float)
+        if sdt == self._jnp.float32:
+            acc_pri, acc_dua = 1e-3, 1e-2
+        else:
+            acc_pri, acc_dua = 1e-5, 1e-4
+        pri_rel = st[0] / max(1.0, st[2])
+        dua_rel = st[1] / max(1.0, st[3])
+        success = bool(st[4]) or (pri_rel < acc_pri and dua_rel < acc_dua)
+        with self._lock:
+            if success:
+                self.xopt = np.asarray(x_opt, float)
+                self.uopt = np.asarray(u_opt, float)
+                if self._warm:
+                    self._w, self._y = w, y
+            elif self.xopt is not None:
+                print(f"linear MPC fused solve not accepted (pri_rel "
+                      f"{pri_rel:.2e}, dua_rel {dua_rel:.2e}); "
+                      "extending previous plan")
+                self.xopt = np.concatenate((self.xopt[1:], self.xopt[-1:]),
+                                           axis=0)
+                self.uopt = np.concatenate((self.uopt[1:], self.uopt[-1:]),
+                                           axis=0)
+                self._w = jnp.zeros_like(self._w)
+                self._y = jnp.zeros_like(self._y)
+            else:
+                raise RuntimeError("first linear MPC solve failed")
+            self.t_solve = _time.time() - t_s
             self.topt = t0 + self.dt * np.arange(self.N + 1)
 
     # client API -----------------------------------------------------------

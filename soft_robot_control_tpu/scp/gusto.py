@@ -97,6 +97,23 @@ class GuSTO:
         # oneshot=False forces the host loop even in the real-time config
         # (used by tests to pin fast-path/host-path equivalence)
         self._use_oneshot = bool(kwargs.pop("oneshot", True))
+        # fused SCP iterations inside the one-shot device call: >1
+        # relinearizes at the previous round's solution before re-solving —
+        # the device-side analog of one extra GuSTO iteration, which stops
+        # the single-linearization plan from extrapolating the model far
+        # from the warm-start trajectory (observed on the trunk campaign:
+        # one-round plans blow 380 mm through a 195 mm robot's envelope)
+        self._oneshot_iters = max(1, int(kwargs.pop("oneshot_iters", 1)))
+        # plan sanity bound: reject a solve whose PLANNED output deviates
+        # more than this (inf-norm, output units) from the horizon target,
+        # keeping the previous plan instead — the role the trust region
+        # plays in the full GuSTO loop (gusto.py:386-415), collapsed to one
+        # test the real-time path can afford
+        self._plan_bound = kwargs.pop("plan_bound", None)
+        # one-shot acceptance thresholds (relative residuals); defaults
+        # match the host condensed adapter's f32/f64 gates
+        self._accept_pri = kwargs.pop("accept_pri_rel", None)
+        self._accept_dua = kwargs.pop("accept_dua_rel", None)
 
         self.nonlinear_observer = bool(getattr(model, "nonlinear_observer", False))
 
@@ -152,6 +169,7 @@ class GuSTO:
         self.zopt = None
         self.locp_solve_time = None
         self.itr_count = 0
+        self.plan_rejects = 0
 
         # Real-time one-shot path: with max_gusto_iters=0, the condensed
         # backend and no trust region (the reference's real-time MPC mode,
@@ -227,13 +245,46 @@ class GuSTO:
         skw = dict(self.locp.solver_kwargs)
         N, nx, nz, nu = spec.N, spec.n_x, spec.n_z, spec.n_u
         H = jnp.asarray(spec.H, spec.dtype)
+        n_rounds = self._oneshot_iters
+        fs = jnp.asarray(self.f_scale)
+        rho_gate = float(self.params.rho)
+        if spec.dtype == jnp.float32:
+            acc_pri, acc_dua = 1e-3, 1e-2
+        else:
+            acc_pri, acc_dua = 1e-5, 1e-4
+        if self._accept_pri is not None:
+            acc_pri = self._accept_pri
+        if self._accept_dua is not None:
+            acc_dua = self._accept_dua
 
-        def step(x0, x_init, u_init, z, u_des, w0, y0):
+        def accuracy_ratio(x_new, u_new, x_traj, u_traj, J):
+            """Taylor-error model accuracy rho_k (compute_accuracy, on
+            device): linearization quality of the step x_traj -> x_new."""
+            f_new, _, _ = jax.vmap(model.get_continuous_dynamics)(
+                x_new[:-1], u_new)
+            fk, Ak, Bk = jax.vmap(model.get_continuous_dynamics)(
+                x_traj[:-1], u_traj)
+            dx = x_new[:-1] - x_traj[:-1]
+            du = u_new - u_traj
+            f_approx = fk + jnp.einsum("kij,kj->ki", Ak, dx) + \
+                jnp.einsum("kij,kj->ki", Bk, du)
+            err = dt * jnp.sum(jnp.linalg.norm(fs * (f_new - f_approx),
+                                               axis=1))
+            approx = dt * jnp.sum(jnp.linalg.norm(fs * f_approx, axis=1))
+            return err / (J + approx)
+
+        def one_round(x_traj, u_traj, x0, z, u_des, w, y):
+            """Linearize at (x_traj, u_traj), assemble, solve, recover, and
+            ACCEPT only if (a) the QP's relative residuals pass and (b) the
+            model-accuracy ratio rho_k <= rho — the same gates the host loop
+            applies (solve residual gate + gusto.py:365-368 accuracy rule).
+            A rejected round keeps the incoming trajectory and drops the
+            ADMM warm start."""
             Ad, Bd, dd = jax.vmap(
                 lambda x_, u_: model.get_discrete_dynamics(x_, u_, dt))(
-                    x_init[:-1], u_init)
+                    x_traj[:-1], u_traj)
             if nlobs:
-                Hd, cd = jax.vmap(model.get_observer_jacobians)(x_init)
+                Hd, cd = jax.vmap(model.get_observer_jacobians)(x_traj)
                 Hd = Hd.reshape(N + 1, nz, nx).astype(spec.dtype)
                 cd = cd.reshape(N + 1, nz).astype(spec.dtype)
             else:
@@ -242,21 +293,42 @@ class GuSTO:
             params = CondensedParams(
                 Ad=Ad.astype(spec.dtype), Bd=Bd.astype(spec.dtype),
                 dd=dd.astype(spec.dtype), x0=x0, z=z, u_des=u_des,
-                Hd=Hd, cd=cd, xk=x_init, delta=jnp.asarray(1.0, spec.dtype),
+                Hd=Hd, cd=cd, xk=x_traj, delta=jnp.asarray(1.0, spec.dtype),
                 omega=jnp.asarray(1.0, spec.dtype))
             P, q, A, l, ub, const, xfree, G = spec.assemble(params)
-            sol = solve_qp_dense(P, q, A, l, ub, x0=w0, y0=y0, **skw)
+            sol = solve_qp_dense(P, q, A, l, ub, x0=w, y0=y, **skw)
             u_opt = sol.x[:N * nu].reshape(N, nu)
             x_opt = spec.recover_x(xfree, G, sol.x)
-            if nlobs:
-                z_opt = jax.vmap(model.dyn_sys.C_map)(x_opt)
-            else:
-                z_opt = x_opt @ H.T
+            J = sol.obj + const
+            pri_rel = sol.pri_res / jnp.maximum(1.0, sol.pri_sc)
+            dua_rel = sol.dua_res / jnp.maximum(1.0, sol.dua_sc)
+            rho_k = accuracy_ratio(x_opt.astype(x_traj.dtype),
+                                   u_opt.astype(u_traj.dtype),
+                                   x_traj, u_traj, J.astype(x_traj.dtype))
+            ok = (sol.solved | ((pri_rel < acc_pri) & (dua_rel < acc_dua))) \
+                & (rho_k <= rho_gate) & jnp.isfinite(rho_k)
+            x_keep = jnp.where(ok, x_opt.astype(x_traj.dtype), x_traj)
+            u_keep = jnp.where(ok, u_opt.astype(u_traj.dtype), u_traj)
+            w_keep = jnp.where(ok, sol.x, jnp.zeros_like(sol.x))
+            y_keep = jnp.where(ok, sol.y, jnp.zeros_like(sol.y))
             stats = jnp.stack([sol.pri_res, sol.dua_res, sol.pri_sc,
                                sol.dua_sc,
                                sol.solved.astype(spec.dtype),
-                               sol.obj + const])
-            return x_opt, u_opt, z_opt, sol.x, sol.y, stats
+                               J, rho_k.astype(spec.dtype)])
+            return x_keep, u_keep, w_keep, y_keep, ok, stats
+
+        def step(x0, x_init, u_init, z, u_des, w0, y0):
+            x_traj, u_traj, w, y = x_init, u_init, w0, y0
+            any_ok = jnp.asarray(False)
+            for _ in range(n_rounds):  # unrolled fused SCP rounds
+                x_traj, u_traj, w, y, ok, stats = one_round(
+                    x_traj, u_traj, x0, z, u_des, w, y)
+                any_ok = any_ok | ok
+            if nlobs:
+                z_opt = jax.vmap(model.dyn_sys.C_map)(x_traj)
+            else:
+                z_opt = x_traj @ H.T
+            return x_traj, u_traj, z_opt, w, y, stats, any_ok
 
         return jax.jit(step)
 
@@ -270,20 +342,28 @@ class GuSTO:
         N, nz, nu = spec.N, spec.n_z, spec.n_u
         z_arr = np.zeros((N + 1, nz)) if z is None else np.asarray(z)
         u_des = np.zeros((N, nu)) if u is None else np.asarray(u)
-        x_opt, u_opt, z_opt, w, y, stats = self._oneshot(
+        x_opt, u_opt, z_opt, w, y, stats, any_ok = self._oneshot(
             jnp.asarray(np.asarray(x0), sdt),
             jnp.asarray(np.asarray(x_init), sdt),
             jnp.asarray(np.asarray(u_init), sdt),
             jnp.asarray(z_arr, sdt), jnp.asarray(u_des, sdt),
             self._os_w, self._os_y)
         st = np.asarray(stats, float)
-        if sdt == jnp.float32:
-            acc_pri, acc_dua = 1e-3, 1e-2
-        else:
-            acc_pri, acc_dua = 1e-5, 1e-4
         pri_rel = st[0] / max(1.0, st[2])
         dua_rel = st[1] / max(1.0, st[3])
-        success = bool(st[4]) or (pri_rel < acc_pri and dua_rel < acc_dua)
+        # the per-round residual + accuracy gates already ran on device;
+        # any_ok says whether ANY fused round was accepted (a fully-rejected
+        # call returns the incoming plan unchanged)
+        success = bool(any_ok)
+        if success and self._plan_bound is not None:
+            # plan sanity: the PLANNED output must stay within plan_bound of
+            # the horizon target (inf-norm); a converged QP whose plan rides
+            # a wild model extrapolation is still a bad plan
+            exc = float(np.max(np.abs(np.asarray(z_opt, float) - z_arr)))
+            if not np.isfinite(exc) or exc > self._plan_bound:
+                print(f"one-shot plan rejected (excursion {exc:.1f} > "
+                      f"{self._plan_bound:.1f})")
+                success = False
         if success:
             self.xopt = np.asarray(x_opt, float)
             self.uopt = np.asarray(u_opt, float)
@@ -292,12 +372,18 @@ class GuSTO:
                 self._os_w, self._os_y = w, y
         else:
             # same failure semantics as the host loop: return the previous
-            # iterate so the controller keeps flying the old plan
+            # iterate so the controller keeps flying the old plan. Drop the
+            # ADMM warm start too — duals of a rejected solve would seed the
+            # next one with the same garbage.
             print("one-shot LOCP not accepted "
-                  f"(pri_rel {pri_rel:.2e}, dua_rel {dua_rel:.2e})")
+                  f"(pri_rel {pri_rel:.2e}, dua_rel {dua_rel:.2e}, "
+                  f"rho_k {st[6]:.2e})")
+            self.plan_rejects += 1
             self.xopt = np.asarray(x_init, float)
             self.uopt = np.asarray(u_init, float)
             self.zopt = self._z_of(self.xopt)
+            self._os_w = jnp.zeros_like(self._os_w)
+            self._os_y = jnp.zeros_like(self._os_y)
         self.itr_count = 1
         self.locp_solve_time = time.time() - t0
         self.x_k = self.xopt

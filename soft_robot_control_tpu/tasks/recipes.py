@@ -31,22 +31,43 @@ from soft_robot_control_tpu.utils.io import save_data
 # Offline data collection
 
 
+def _lhs_excitation(robot, nbr_samples, t_step, seed, amplitude_scale):
+    """LHS input sequence(s) at one or several amplitude scales.
+
+    amplitude_scale may be a float or a list of floats: a multi-scale
+    excitation concatenates one LHS sequence per scale (distinct seeds) so
+    the data covers both the small-deflection regime the control tasks live
+    in and the larger envelope (the reference collects Trunk data at a
+    single max_amplitude, trunk.py:186 — one scale starves one regime)."""
+    s = robot.sequences
+    scales = (list(amplitude_scale)
+              if isinstance(amplitude_scale, (list, tuple))
+              else [float(amplitude_scale)])
+    umax_save = np.asarray(s.umax).copy()
+    us, ts = [], []
+    t_off = 0.0
+    try:
+        for i, sc in enumerate(scales):
+            s.umax = sc * umax_save
+            u_seq, _, t_seq = s.lhs_sequence(nbr_samples=nbr_samples,
+                                             t_step=t_step, seed=seed + i)
+            us.append(np.asarray(u_seq).T)
+            ts.append(np.asarray(t_seq, float) + t_off)
+            t_off = ts[-1][-1] + robot.dt if len(ts[-1]) else t_off
+    finally:
+        s.umax = umax_save  # don't leak the scaled amplitude to later recipes
+    return np.concatenate(us, axis=0), np.concatenate(ts)
+
+
 def collect_pod_data(robot, save_dir: str, nbr_samples: int = 40,
                      t_step: float = 0.3, seed: int = 111,
-                     amplitude_scale: float = 1.0):
+                     amplitude_scale=1.0):
     """Open-loop LHS excitation, snapshot collection, rest state — the
     collect_POD_data recipe (examples/diamond/diamond.py:73-113).
     Saves pod_snapshots.pkl (SnapshotData layout) and rest.pkl."""
     os.makedirs(save_dir, exist_ok=True)
-    s = robot.sequences
-    umax_save = np.asarray(s.umax).copy()
-    s.umax = amplitude_scale * umax_save
-    try:
-        u_seq, save_seq, t_seq = s.lhs_sequence(nbr_samples=nbr_samples,
-                                                t_step=t_step, seed=seed)
-    finally:
-        s.umax = umax_save  # don't leak the scaled amplitude to later recipes
-    u = np.asarray(u_seq).T
+    u, t_seq = _lhs_excitation(robot, nbr_samples, t_step, seed,
+                               amplitude_scale)
     dt = robot.dt
     X = np.asarray(simulate_chunked(robot.plant, robot.plant.x_rest(),
                                     jnp.asarray(u), dt))
@@ -78,7 +99,7 @@ def collect_tpwl_data(robot, save_dir: str, threshold: float = 0.5,
                       nbr_samples: int = 40, t_step: float = 0.3,
                       seed: int = 222, discr_method: str = "be",
                       dynamics: str = "continuous",
-                      amplitude_scale: float = 1.0,
+                      amplitude_scale=1.0,
                       eval_type: str = "distance"):
     """Build the TPWL dictionary along a fresh excitation trajectory
     (collect_TPWL_data, examples/diamond/diamond.py:140-191).
@@ -93,15 +114,7 @@ def collect_tpwl_data(robot, save_dir: str, threshold: float = 0.5,
     distance (the reference's tpwl_dynamics_config criterion,
     tpwl_utils.py:199-260)."""
     rom = pod.load_POD(os.path.join(save_dir, "pod_model.pkl"))
-    s = robot.sequences
-    umax_save = np.asarray(s.umax).copy()
-    s.umax = amplitude_scale * umax_save
-    try:
-        u_seq, _, _ = s.lhs_sequence(nbr_samples=nbr_samples, t_step=t_step,
-                                     seed=seed)
-    finally:
-        s.umax = umax_save
-    u = np.asarray(u_seq).T
+    u, _ = _lhs_excitation(robot, nbr_samples, t_step, seed, amplitude_scale)
     dt = robot.dt
     X = np.asarray(simulate_chunked(robot.plant, robot.plant.x_rest(),
                                     jnp.asarray(u), dt))
@@ -168,7 +181,7 @@ def tpwl_rollout_check(robot, save_dir: str, nbr_samples: int = 10,
 
 def run_scp(robot, save_dir: str, t_target, z_target, dt_solver=None, N=5,
             N_replan=2, Qz=None, R=None, sim_duration=6.0, delay=1.0,
-            U=None, dU=None, save_prefix="scp", **gusto_kwargs):
+            U=None, dU=None, save_prefix="scp", u_sat=None, **gusto_kwargs):
     """GuSTO SCP MPC closed loop with EKF — the run_scp + run_gusto_solver
     recipe pair (examples/diamond/diamond.py:194-316) with the solver
     in-process. Saves {save_prefix}_sim.pkl."""
@@ -206,15 +219,22 @@ def run_scp(robot, save_dir: str, t_target, z_target, dt_solver=None, N=5,
     controller = scp(model, cost, dt, N_replan=N_replan, observer=observer,
                      delay=delay, wait=True, solver_service=service, mpc=True)
 
-    sim = _run_and_save(robot, controller, sim_duration, save_dir, save_prefix)
+    sim = _run_and_save(robot, controller, sim_duration, save_dir, save_prefix,
+                        u_sat=u_sat)
+    if "info" in sim:
+        sim["info"]["plan_rejects"] = int(getattr(service.gusto,
+                                                  "plan_rejects", 0))
+        save_data(os.path.join(save_dir, f"{save_prefix}_sim.pkl"), sim)
     return sim
 
 
 def run_ilqr(robot, save_dir: str, t_target, z_target, Qz=None, R=None,
-             sim_duration=6.0, delay=1.0, tf=None, save_prefix="ilqr",
-             observer=None, config=None):
+             Qf=None, sim_duration=6.0, delay=1.0, tf=None,
+             save_prefix="ilqr", observer=None, config=None, u_sat=None):
     """iLQR trajectory optimization + closed-loop tracking (run_ilqr,
-    examples/diamond/diamond.py:318-398)."""
+    examples/diamond/diamond.py:318-398). Qf defaults to zero like the
+    reference's trajectory-tracking configs (trunk.py:374: cost.Qf =
+    np.zeros_like(Qz))."""
     from soft_robot_control_tpu.control.policies import ilqr as ilqr_ctrl
 
     dt = robot.dt
@@ -223,11 +243,12 @@ def run_ilqr(robot, save_dir: str, t_target, z_target, Qz=None, R=None,
     nz = Hf.shape[0]
     Qz = Qz if Qz is not None else 100.0 * np.eye(nz)
     R = R if R is not None else 1e-2 * np.eye(robot.n_cables)
-    cost = QuadraticCost(Q=Qz, R=R, Qf=Qz)
+    cost = QuadraticCost(Q=Qz, R=R, Qf=np.zeros_like(Qz) if Qf is None else Qf)
     target = Target(t=t_target, z=np.asarray(z_target), Hf=Hf)
     controller = ilqr_ctrl(model, cost, target, dt=dt, observer=observer,
                            delay=delay, tf=tf, config=config)
-    return _run_and_save(robot, controller, sim_duration, save_dir, save_prefix)
+    return _run_and_save(robot, controller, sim_duration, save_dir,
+                         save_prefix, u_sat=u_sat)
 
 
 def run_scp_open_loop(robot, save_dir: str, t_target, z_target, N=100,
@@ -368,7 +389,14 @@ def run_koopman(robot, save_dir: str, t_target, z_target_scaled, delay_embed=2,
 
 
 def _run_and_save(robot, controller, sim_duration, save_dir, save_prefix,
-                  measurement_matrix=None):
+                  measurement_matrix=None, u_sat=None):
+    """u_sat bounds the APPLIED command below the plant's actuator limit —
+    the deployment-side guard that keeps the closed loop inside the model's
+    training envelope. The plan-level QP bound (U) cannot see the LQR
+    feedback term u_bar + K (x_hat - x_bar); without this, model error can
+    drive the feedback into plant-limit saturation far outside the data
+    (observed: trunk iLQR pinned all 8 cables at u_max=800 from t~2 s,
+    bending the tip 358 mm while the dictionary was collected at u<=200)."""
     Hf = robot.get_output_model()
     Cf = robot.get_measurement_model() if measurement_matrix is None \
         else measurement_matrix
@@ -381,11 +409,12 @@ def _run_and_save(robot, controller, sim_duration, save_dir, save_prefix,
             return self.M @ x
 
     m = robot.plant.input_dim
+    u_hi = robot.u_max if u_sat is None else min(u_sat, robot.u_max)
     sim = run_closed_loop(robot.plant, controller, sim_duration=sim_duration,
                           dt=robot.dt, measurement_model=_Lin(Cf),
                           output_model=_Lin(Hf),
                           u_limits=(robot.u_min * np.ones(m),
-                                    robot.u_max * np.ones(m)))
+                                    u_hi * np.ones(m)))
     if save_dir is not None:
         save_data(os.path.join(save_dir, f"{save_prefix}_sim.pkl"), sim)
     return sim

@@ -296,3 +296,61 @@ def test_gusto_oneshot_matches_host_loop():
                                    rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(g_fast.zopt, g_host.zopt,
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_gusto_oneshot_multi_iter_improves_plan():
+    """oneshot_iters=2 relinearizes at the first round's solution inside the
+    fused call — it must (a) still be accepted, (b) match a 2-iteration
+    host-loop relinearization to SCP-iteration accuracy on the Dubins car."""
+    model = DubinsCar()
+    N, dt = 12, 0.1
+    Qz = np.diag([1.0, 1.0, 0.0])
+    R = 0.1 * np.eye(model.n_u)
+    x0 = np.zeros(model.n_x)
+    z = np.tile(np.array([1.0, 1.0, 0.0]), (N + 1, 1))
+    U = HyperRectangle(2.0 * np.ones(model.n_u), -2.0 * np.ones(model.n_u))
+    u_init = np.zeros((N, model.n_u))
+    x_init = np.asarray(model.rollout(x0, u_init, dt))
+
+    g2 = GuSTO(model, N, dt, Qz, R, x0, u_init, x_init, z=z, U=U,
+               verbose=0, max_gusto_iters=0, is_tr_active=False,
+               locp_backend="condensed", oneshot_iters=2)
+    # one fused call = oneshot_iters host-loop solves, each relinearizing at
+    # the previous accepted QP solution — so drive the fused path once and
+    # the host loop TWICE from the shared converged construction plan
+    g2.solve(x0, np.asarray(g2.uopt), np.asarray(g2.xopt), z=z)
+    g_host = GuSTO(model, N, dt, Qz, R, x0, u_init, x_init, z=z, U=U,
+                   verbose=0, max_gusto_iters=0, is_tr_active=False,
+                   locp_backend="condensed", oneshot=False)
+    g_host.solve(x0, np.asarray(g_host.uopt), np.asarray(g_host.xopt), z=z)
+    g_host.solve(x0, np.asarray(g_host.uopt), np.asarray(g_host.xopt), z=z)
+    np.testing.assert_allclose(g2.uopt, g_host.uopt, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(g2.xopt, g_host.xopt, rtol=1e-3, atol=1e-4)
+
+
+def test_gusto_oneshot_plan_bound_rejects(capsys):
+    """A plan whose PLANNED output strays beyond plan_bound of the target is
+    rejected and the previous plan kept (with the ADMM warm start reset)."""
+    model = DubinsCar()
+    N, dt = 12, 0.1
+    Qz = np.diag([1.0, 1.0, 0.0])
+    R = 0.1 * np.eye(model.n_u)
+    x0 = np.zeros(model.n_x)
+    z = np.tile(np.array([1.0, 1.0, 0.0]), (N + 1, 1))
+    U = HyperRectangle(2.0 * np.ones(model.n_u), -2.0 * np.ones(model.n_u))
+    u_init = np.zeros((N, model.n_u))
+    x_init = np.asarray(model.rollout(x0, u_init, dt))
+
+    # bound so tight even the straight-line plan violates it -> every solve
+    # after construction must keep the caller-provided previous plan
+    g = GuSTO(model, N, dt, Qz, R, x0, u_init, x_init, z=z, U=U,
+              verbose=0, max_gusto_iters=0, is_tr_active=False,
+              locp_backend="condensed", plan_bound=1e-6)
+    u_prev = np.full((N, model.n_u), 0.123)
+    x_prev = np.asarray(model.rollout(x0, u_prev, dt))
+    g.solve(x0, u_prev, x_prev, z=z)
+    out = capsys.readouterr().out
+    assert "plan rejected" in out
+    np.testing.assert_allclose(g.uopt, u_prev)
+    np.testing.assert_allclose(g.xopt, x_prev)
+    assert float(np.abs(np.asarray(g._os_w)).max()) == 0.0
