@@ -53,6 +53,10 @@ def main():
                     "alone over-selects on float32 campaign data whose "
                     "singular tail sits at the numerical noise floor")
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--skip-collect", action="store_true",
+                    help="reuse the committed POD/TPWL artifacts in --out "
+                    "(the bench and sharding tests consume the committed "
+                    "P=1087 dictionary — don't rebuild it for an MPC rerun)")
     ap.add_argument("--skip-mpc", action="store_true")
     ap.add_argument("--sim-duration", type=float, default=11.0)
     args = ap.parse_args()
@@ -91,28 +95,62 @@ def main():
     d = args.out
     os.makedirs(d, exist_ok=True)
 
-    snap = recipes.collect_pod_data(robot, d, nbr_samples=args.samples,
-                                    t_step=args.t_step)
-    print(f"[{time.time()-t0:6.1f}s] POD data: {len(snap['q'])} snapshots",
-          flush=True)
+    # per-stage summary: partial reruns refresh only the fields their stage
+    # owns (same provenance rule as the trunk campaign)
+    import json
+    summary = {}
+    summary_path = os.path.join(d, "diamond_tpwl_campaign.json")
+    if os.path.exists(summary_path):
+        try:
+            with open(summary_path) as f:
+                summary = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            summary = {}
+    stage_fields = {
+        "collect": ["rom_dim", "tpwl_points", "heldout_rel_err",
+                    "collect_platform"],
+        "mpc": ["scp_rmse_mm", "scp_rmse_unshifted_mm", "scp_solve_ms_mean",
+                "scp_plan_rejects", "mpc_platform"],
+    }
+    for stage, skip in (("collect", args.skip_collect),
+                        ("mpc", args.skip_mpc)):
+        if not skip:
+            for k in stage_fields[stage]:
+                summary.pop(k, None)
 
-    res = recipes.compute_pod_basis(d, pod_tolerance=args.pod_tol,
-                                    pod_type="a", rom_dim=args.rom_dim)
-    r = res["POD_info"]["U"].shape[1]
-    print(f"[{time.time()-t0:6.1f}s] POD basis: r = {r}", flush=True)
+    def _persist():
+        with open(summary_path, "w") as f:
+            json.dump(summary, f, indent=1)
 
-    model = recipes.collect_tpwl_data(robot, d, threshold=args.threshold,
-                                      nbr_samples=args.tpwl_samples,
-                                      t_step=args.t_step,
-                                      dynamics="discrete",
-                                      eval_type=args.eval_type)
-    print(f"[{time.time()-t0:6.1f}s] TPWL dictionary: P = {model.num_points} "
-          f"(discrete, dt={robot.dt})", flush=True)
+    if not args.skip_collect:
+        snap = recipes.collect_pod_data(robot, d, nbr_samples=args.samples,
+                                        t_step=args.t_step)
+        print(f"[{time.time()-t0:6.1f}s] POD data: {len(snap['q'])} "
+              f"snapshots", flush=True)
 
-    chk = recipes.tpwl_rollout_check(robot, d, nbr_samples=6, seed=333,
-                                     t_step=args.t_step)
-    print(f"[{time.time()-t0:6.1f}s] held-out rollout: MSE {chk['mse']:.4g}, "
-          f"rel err {chk['rel_err']:.4f}", flush=True)
+        res = recipes.compute_pod_basis(d, pod_tolerance=args.pod_tol,
+                                        pod_type="a", rom_dim=args.rom_dim)
+        r = res["POD_info"]["U"].shape[1]
+        print(f"[{time.time()-t0:6.1f}s] POD basis: r = {r}", flush=True)
+        summary["rom_dim"] = int(r)
+
+        model = recipes.collect_tpwl_data(robot, d,
+                                          threshold=args.threshold,
+                                          nbr_samples=args.tpwl_samples,
+                                          t_step=args.t_step,
+                                          dynamics="discrete",
+                                          eval_type=args.eval_type)
+        print(f"[{time.time()-t0:6.1f}s] TPWL dictionary: "
+              f"P = {model.num_points} (discrete, dt={robot.dt})", flush=True)
+        summary["tpwl_points"] = int(model.num_points)
+
+        chk = recipes.tpwl_rollout_check(robot, d, nbr_samples=6, seed=333,
+                                         t_step=args.t_step)
+        print(f"[{time.time()-t0:6.1f}s] held-out rollout: MSE "
+              f"{chk['mse']:.4g}, rel err {chk['rel_err']:.4f}", flush=True)
+        summary["heldout_rel_err"] = float(chk["rel_err"])
+        summary["collect_platform"] = dtype
+        _persist()
 
     if args.skip_mpc:
         return
@@ -140,12 +178,16 @@ def main():
     # — the slacked infinity-norm TR epigraph is ADMM-hostile at these
     # dimensions (the reference resorts to GUROBI for it, diamond.py:316).
     import jax.numpy as jnp
+    # oneshot_iters=2 + plan_bound: the fused one-shot's round-3 guards
+    # (device-side residual + accuracy gates, one relinearization, planned-
+    # output envelope check) — see scp/gusto.py:_build_oneshot
     sim = recipes.run_scp(robot, d, tt, z_target, dt_solver=robot.dt, N=10,
                           N_replan=2, Qz=Qz, R=R,
                           sim_duration=args.sim_duration, delay=1.0, U=U,
                           save_prefix="scp_fig8",
                           max_gusto_iters=0, is_tr_active=False,
                           locp_backend="condensed",
+                          oneshot_iters=2, plan_bound=60.0,
                           dtype=jnp.float64 if dtype == "float64"
                           else jnp.float32)
     z = np.asarray(sim["z"])
@@ -168,11 +210,30 @@ def main():
     print(f"[{time.time()-t0:6.1f}s] GuSTO MPC figure-8: tracking RMSE "
           f"{rmse:.3f} mm vs the delay-shifted target ({rmse_unshifted:.3f} "
           f"unshifted) over {active.sum()} steps", flush=True)
+    summary["scp_rmse_mm"] = rmse
+    summary["scp_rmse_unshifted_mm"] = rmse_unshifted
+    summary["mpc_platform"] = dtype
     info = sim.get("info", {})
     if "solve_times" in info and len(info["solve_times"]):
         st = np.asarray(info["solve_times"])
         print(f"         solve times: mean {st.mean()*1e3:.2f} ms, "
               f"max {st.max()*1e3:.2f} ms", flush=True)
+        summary["scp_solve_ms_mean"] = float(st.mean() * 1e3)
+    summary["scp_plan_rejects"] = int(info.get("plan_rejects", 0))
+    _persist()
+    print(f"[{time.time()-t0:6.1f}s] saved diamond_tpwl_campaign.json",
+          flush=True)
+
+    # fail loudly if this run regressed its committed quality gates
+    import subprocess
+    rc = subprocess.call([sys.executable, "-m", "pytest", "-q",
+                          os.path.join(os.path.dirname(os.path.dirname(
+                              os.path.abspath(__file__))), "tests",
+                              "test_campaign_artifacts.py")],
+                         env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    if rc != 0:
+        print("ARTIFACT GATES FAILED — do not commit this run", flush=True)
+        sys.exit(rc)
 
 
 if __name__ == "__main__":

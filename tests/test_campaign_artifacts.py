@@ -103,3 +103,39 @@ def test_diamond_ssm_artifact_stable_and_tracks():
             r = json.load(f)
         assert r["tracking_rmse_mm"] < 5.0, r
         assert r["held_out_rel"] < 0.2, r
+
+
+def test_diamond_tpwl_gusto_closed_loop_gates():
+    """The committed Diamond TPWL GuSTO closed-loop campaign result — the
+    reference's flagship recipe (examples/diamond/diamond.py:194-316 run_scp
+    + run_gusto_solver figure-8) — stays within its quality/latency gates:
+    tracking RMSE under 10 mm (committed run ~7.3 mm delay-corrected) and
+    mean solve time within the reference's N_replan*dt real-time budget."""
+    import json
+
+    res = os.path.join(ART_DIR, "diamond_tpwl_campaign.json")
+    if not os.path.exists(res):
+        pytest.skip("diamond TPWL campaign summary not present")
+    with open(res) as f:
+        r = json.load(f)
+    assert r["scp_rmse_mm"] < 10.0, r
+    if r.get("scp_solve_ms_mean") is not None:
+        assert r["scp_solve_ms_mean"] < 300.0, r
+
+
+def test_noisy_batch_mpc_gates():
+    """The committed noisy-measurement 1024-way MPC+EKF sweep (BASELINE
+    config 5; reference measurement_models.py:47-86 noisy MeasurementModel +
+    EKF): noise-free quality matches the bench gate, and the EKF keeps the
+    loop usable at mocap-scale (0.1 mm) noise."""
+    import json
+
+    res = os.path.join(ART_DIR, "noisy_batch_mpc.json")
+    if not os.path.exists(res):
+        pytest.skip("noisy batched MPC summary not present")
+    with open(res) as f:
+        r = json.load(f)
+    noise = {float(k): v for k, v in r["noise"].items()}
+    assert noise[0.0] <= 0.05, noise            # bench quality gate
+    assert noise[0.1] <= 0.08, noise            # mocap-scale noise
+    assert noise[1.0] <= 0.5, noise             # coarse sensing still flies
