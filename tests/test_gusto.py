@@ -354,3 +354,48 @@ def test_gusto_oneshot_plan_bound_rejects(capsys):
     np.testing.assert_allclose(g.uopt, u_prev)
     np.testing.assert_allclose(g.xopt, x_prev)
     assert float(np.abs(np.asarray(g._os_w)).max()) == 0.0
+
+
+def test_linear_mpc_fused_matches_adapter():
+    """LinearMPCService's fused condensed path (device-resident constant
+    dynamics, one jitted dispatch per solve) returns the same plans as the
+    host condensed-adapter path it accelerates (baselines/ros.py contract)."""
+    from soft_robot_control_tpu.control.linear_mpc import LinearMPCService
+    from soft_robot_control_tpu.core.constraints import HyperRectangle
+    from soft_robot_control_tpu.core.types import QuadraticCost, Target
+
+    rng = np.random.default_rng(9)
+    N, nx, nu, nz = 8, 4, 2, 2
+    H_out = np.zeros((nz, nx))
+    H_out[0, 0] = H_out[1, 1] = 1.0
+
+    class LTI:
+        A_d = 0.9 * np.eye(nx) + 0.02 * rng.normal(size=(nx, nx))
+        B_d = 0.1 * rng.normal(size=(nx, nu))
+        d_d = 0.01 * rng.normal(size=nx)
+        H = H_out
+
+    tt = 0.05 * np.arange(40)
+    zt = np.stack([np.sin(tt), np.cos(tt)], axis=1)
+    cost = QuadraticCost(Q=10.0 * np.eye(nz), R=0.1 * np.eye(nu),
+                         Qf=20.0 * np.eye(nz))
+    target = Target(t=tt, z=zt)
+    U = HyperRectangle(2.0 * np.ones(nu), -2.0 * np.ones(nu))
+
+    svc_f = LinearMPCService(LTI(), N, 0.05, cost, target, U=U,
+                             locp_backend="condensed")
+    assert svc_f._fused
+    svc_h = LinearMPCService(LTI(), N, 0.05, cost, target, U=U,
+                             locp_backend="condensed")
+    svc_h._fused = None  # force the host adapter path
+
+    x = 0.1 * rng.normal(size=nx)
+    for k in range(3):
+        t0 = 0.05 * k
+        svc_f.send_request(t0, x, wait=True)
+        svc_h.send_request(t0, x, wait=True)
+        tf_, uf, xf, _ = svc_f.get_solution()
+        th_, uh, xh, _ = svc_h.get_solution()
+        np.testing.assert_allclose(uf, uh, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(xf, xh, rtol=1e-4, atol=1e-5)
+        x = xf[1]  # roll the loop forward along the plan
