@@ -253,7 +253,13 @@ def main():
     Qz = np.zeros((nz, nz))
     Qz[0, 0] = Qz[1, 1] = 100.0
     R = 1e-6 * np.eye(model.input_dim)
-    U = HyperRectangle(robot.u_max * np.ones(8), np.zeros(8))
+    # bound the solver (and, below, the applied command) at the SSM's
+    # training envelope: the model is identified from decays at u <= amp
+    # (200 mN) — letting the feedforward plan ride to u_max=800 drives the
+    # plant far off-manifold and the loop diverges on contact with the
+    # first model error (round-3 committed sim: 360 mm excursions)
+    u_env = min(1.25 * args.amp, robot.u_max)
+    U = HyperRectangle(u_env * np.ones(8), np.zeros(8))
 
     x0r = np.zeros(model.state_dim)
     service = GuSTOService(gm, N=3, dt=3 * dt, Qz=Qz, R=R, x0=x0r,
@@ -274,7 +280,8 @@ def main():
     sim = run_closed_loop(plant, controller,
                           sim_duration=args.sim_duration, dt=dt,
                           measurement_model=_Lin(Cf),
-                          output_model=_Lin(Hf))
+                          output_model=_Lin(Hf),
+                          u_limits=(np.zeros(8), u_env * np.ones(8)))
     z = np.asarray(sim["z"])  # [q_tip; v_tip]
     t = np.asarray(sim["t"])
     zs = z[:, :2] - np.asarray(model.z_ref)[:2]
@@ -282,11 +289,30 @@ def main():
     zx = np.interp(t[mask] - 0.5, t_target, z_target[:, 0])
     zy = np.interp(t[mask] - 0.5, t_target, z_target[:, 1])
     err = np.hypot(zs[mask, 0] - zx, zs[mask, 1] - zy)
+    rmse = float(np.sqrt(np.mean(err ** 2)))
     print(f"[{time.time()-t0:6.1f}s] SSM MPC on tet plant: tracking RMSE "
-          f"{np.sqrt(np.mean(err**2)):.2f} mm (circle amp {amp_z} mm)",
-          flush=True)
+          f"{rmse:.2f} mm (circle amp {amp_z} mm)", flush=True)
     from soft_robot_control_tpu.utils.io import save_data
     save_data(os.path.join(args.out, "ssm_mpc_sim.pkl"), sim)
+    st = np.asarray(sim.get("info", {}).get("solve_times", []))
+    res = {"tracking_rmse_mm": rmse, "circle_amp_mm": float(amp_z),
+           "u_envelope_mN": float(u_env),
+           "solve_ms_mean": float(st.mean() * 1e3) if st.size else None,
+           "platform": np_dtype_name}
+    import json
+    with open(os.path.join(args.out, "trunk_ssm_mpc.json"), "w") as f:
+        json.dump(res, f, indent=1)
+    print(f"[{time.time()-t0:6.1f}s] saved trunk_ssm_mpc.json", flush=True)
+
+    import subprocess
+    rc = subprocess.call([sys.executable, "-m", "pytest", "-q",
+                          os.path.join(os.path.dirname(os.path.dirname(
+                              os.path.abspath(__file__))), "tests",
+                              "test_trunk_campaign_artifacts.py")],
+                         env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    if rc != 0:
+        print("ARTIFACT GATES FAILED — do not commit this run", flush=True)
+        sys.exit(rc)
 
 
 if __name__ == "__main__":

@@ -152,6 +152,10 @@ def tpwl_rollout_check(robot, save_dir: str, nbr_samples: int = 10,
     TPWL_rollout module test (examples/hardware/diamond.py:20-73). Also
     reports `rel_err`, the z error normalized by the motion energy."""
     model = load_tpwl(robot, save_dir).pre_discretize(robot.dt)
+    if isinstance(amplitude_scale, (list, tuple)):
+        # held-out fidelity is scored at the largest training scale — the
+        # envelope the dictionary must cover
+        amplitude_scale = max(amplitude_scale)
     s = robot.sequences
     umax_save = np.asarray(s.umax).copy()
     s.umax = amplitude_scale * umax_save

@@ -55,3 +55,16 @@ def test_trunk_tpwl_dictionary_loads_discrete():
                            Hf=Hf, discr_method="be")
     assert model.num_points >= 100
     assert model.A_d is not None
+
+
+def test_trunk_ssm_mpc_gates():
+    """The committed trunk SSM closed-loop result (BASELINE config 4,
+    examples/trunk_ssm_campaign.py) tracks the tip circle well within the
+    model ceiling and stays inside its training envelope."""
+    p = os.path.join(ART_DIR, "trunk_ssm_mpc.json")
+    if not os.path.exists(p):
+        pytest.skip("trunk SSM MPC summary not present")
+    with open(p) as f:
+        r = json.load(f)
+    assert r["tracking_rmse_mm"] < 8.0, r
+    assert r["u_envelope_mN"] <= 300.0, r
