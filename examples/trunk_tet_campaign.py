@@ -53,6 +53,14 @@ def main():
                     "(trunk.py:186) — full-amplitude data bends the trunk "
                     "~90 mm and starves the +/-10 mm figure-8 regime of "
                     "dictionary points")
+    ap.add_argument("--traj", type=str,
+                    default="50:1,100:1.5,150:2,200:2.5,250:3,150:10",
+                    help="figure-8 ('infinity sign') excitation segments as "
+                    "amp:period pairs, appended to the LHS data exactly like "
+                    "the reference's Trunk collection (trunk.py:104-112 POD "
+                    "amplitudes 50-450, trunk.py:186-192 TPWL amplitudes "
+                    "150-250) — dictionary points along task-like orbits "
+                    "are what make the figure-8 MPC track; '' disables")
     ap.add_argument("--solver-N", type=int, default=50,
                     help="MPC horizon steps at the dictionary dt; 50 x "
                     "0.01 s matches the reference's 0.5 s trunk horizon "
@@ -68,6 +76,10 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--skip-collect", action="store_true",
                     help="reuse the existing POD/TPWL artifacts in --out")
+    ap.add_argument("--skip-pod", action="store_true",
+                    help="reuse the existing POD basis in --out but rebuild "
+                    "the TPWL dictionary + fidelity checks (resume a "
+                    "collection that died between the POD and TPWL stages)")
     ap.add_argument("--skip-mpc", action="store_true")
     ap.add_argument("--skip-ilqr", action="store_true")
     ap.add_argument("--sim-duration", type=float, default=11.0)
@@ -96,6 +108,8 @@ def main():
 
     amp = [float(v) for v in str(args.amplitude_scale).split(",")]
     args.amplitude_scale = amp if len(amp) > 1 else amp[0]
+    traj = tuple(tuple(float(x) for x in seg.split(":"))
+                 for seg in args.traj.split(",") if seg)
 
     np_dtype = np.float64 if dtype == "float64" else np.float32
     t0 = time.time()
@@ -123,7 +137,7 @@ def main():
     summary.pop("platform", None)
     stage_fields = {
         "collect": ["rom_dim", "tpwl_points", "heldout_rel_err",
-                    "collect_platform"],
+                    "heldout_traj_rel_err", "collect_platform"],
         "mpc": ["scp_rmse_mm", "scp_solve_ms_mean", "scp_plan_rejects",
                 "mpc_platform"],
         "ilqr": ["ilqr_rmse_mm", "ilqr_platform"],
@@ -135,15 +149,22 @@ def main():
                 summary.pop(k, None)
 
     if not args.skip_collect:
-        snap = recipes.collect_pod_data(robot, d, nbr_samples=args.samples,
-                                        t_step=args.t_step,
-                                        amplitude_scale=args.amplitude_scale)
-        print(f"[{time.time()-t0:6.1f}s] POD data: {len(snap['q'])} "
-              f"snapshots", flush=True)
+        if not args.skip_pod:
+            snap = recipes.collect_pod_data(robot, d,
+                                            nbr_samples=args.samples,
+                                            t_step=args.t_step,
+                                            amplitude_scale=args.amplitude_scale,
+                                            traj=traj)
+            print(f"[{time.time()-t0:6.1f}s] POD data: {len(snap['q'])} "
+                  f"snapshots", flush=True)
 
-        res = recipes.compute_pod_basis(d, pod_tolerance=5e-5, pod_type="a",
-                                        rom_dim=args.rom_dim)
-        r = res["POD_info"]["U"].shape[1]
+            res = recipes.compute_pod_basis(d, pod_tolerance=5e-5,
+                                            pod_type="a",
+                                            rom_dim=args.rom_dim)
+            r = res["POD_info"]["U"].shape[1]
+        else:
+            from soft_robot_control_tpu.rom.pod import load_POD
+            r = load_POD(os.path.join(d, "pod_model.pkl")).rom_dim
         print(f"[{time.time()-t0:6.1f}s] POD basis: r = {r}", flush=True)
         summary["rom_dim"] = int(r)
 
@@ -152,7 +173,8 @@ def main():
                                           nbr_samples=args.tpwl_samples,
                                           t_step=args.t_step,
                                           dynamics="discrete",
-                                          amplitude_scale=args.amplitude_scale)
+                                          amplitude_scale=args.amplitude_scale,
+                                          traj=traj)
         print(f"[{time.time()-t0:6.1f}s] TPWL dictionary: "
               f"P = {model.num_points}", flush=True)
         summary["tpwl_points"] = int(model.num_points)
@@ -163,6 +185,12 @@ def main():
         print(f"[{time.time()-t0:6.1f}s] held-out rollout: MSE "
               f"{chk['mse']:.4g}, rel err {chk['rel_err']:.4f}", flush=True)
         summary["heldout_rel_err"] = float(chk["rel_err"])
+        # task-regime fidelity: a figure-8 excitation at a HELD-OUT
+        # amplitude/period between the training segments
+        chk2 = recipes.tpwl_rollout_check(robot, d, traj=(175.0, 2.25))
+        print(f"[{time.time()-t0:6.1f}s] held-out fig-8 rollout: MSE "
+              f"{chk2['mse']:.4g}, rel err {chk2['rel_err']:.4f}", flush=True)
+        summary["heldout_traj_rel_err"] = float(chk2["rel_err"])
         summary["collect_platform"] = dtype
 
     # figure-8 "infinity sign" target around the post-gravity rest tip

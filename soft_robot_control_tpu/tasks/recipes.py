@@ -31,14 +31,23 @@ from soft_robot_control_tpu.utils.io import save_data
 # Offline data collection
 
 
-def _lhs_excitation(robot, nbr_samples, t_step, seed, amplitude_scale):
-    """LHS input sequence(s) at one or several amplitude scales.
+def _lhs_excitation(robot, nbr_samples, t_step, seed, amplitude_scale,
+                    traj=()):
+    """LHS input sequence(s) at one or several amplitude scales, optionally
+    followed by trajectory-tracking primitives.
 
     amplitude_scale may be a float or a list of floats: a multi-scale
     excitation concatenates one LHS sequence per scale (distinct seeds) so
     the data covers both the small-deflection regime the control tasks live
     in and the larger envelope (the reference collects Trunk data at a
-    single max_amplitude, trunk.py:186 — one scale starves one regime)."""
+    single max_amplitude, trunk.py:186 — one scale starves one regime).
+
+    traj is a sequence of (amplitude, period) pairs: each appends the
+    robot's traj_tracking excitation (Trunk figure-8 "infinity sign") at
+    that cable amplitude/period — the reference's Trunk collection mixes
+    LHS with traj_tracking at amplitudes 150-250 so dictionary points lie
+    along figure-8-like orbits, i.e. exactly the closed-loop task regime
+    (/root/reference/examples/trunk/trunk.py:104-112,186-192)."""
     s = robot.sequences
     scales = (list(amplitude_scale)
               if isinstance(amplitude_scale, (list, tuple))
@@ -56,18 +65,24 @@ def _lhs_excitation(robot, nbr_samples, t_step, seed, amplitude_scale):
             t_off = ts[-1][-1] + robot.dt if len(ts[-1]) else t_off
     finally:
         s.umax = umax_save  # don't leak the scaled amplitude to later recipes
+    for amp, period in traj:
+        u_seq, _, t_seq = s.traj_tracking(amplitude=float(amp),
+                                          period=float(period))
+        us.append(np.asarray(u_seq).T)
+        ts.append(np.asarray(t_seq, float) + t_off)
+        t_off = ts[-1][-1] + robot.dt if len(ts[-1]) else t_off
     return np.concatenate(us, axis=0), np.concatenate(ts)
 
 
 def collect_pod_data(robot, save_dir: str, nbr_samples: int = 40,
                      t_step: float = 0.3, seed: int = 111,
-                     amplitude_scale=1.0):
+                     amplitude_scale=1.0, traj=()):
     """Open-loop LHS excitation, snapshot collection, rest state — the
     collect_POD_data recipe (examples/diamond/diamond.py:73-113).
     Saves pod_snapshots.pkl (SnapshotData layout) and rest.pkl."""
     os.makedirs(save_dir, exist_ok=True)
     u, t_seq = _lhs_excitation(robot, nbr_samples, t_step, seed,
-                               amplitude_scale)
+                               amplitude_scale, traj=traj)
     dt = robot.dt
     X = np.asarray(simulate_chunked(robot.plant, robot.plant.x_rest(),
                                     jnp.asarray(u), dt))
@@ -99,7 +114,7 @@ def collect_tpwl_data(robot, save_dir: str, threshold: float = 0.5,
                       nbr_samples: int = 40, t_step: float = 0.3,
                       seed: int = 222, discr_method: str = "be",
                       dynamics: str = "continuous",
-                      amplitude_scale=1.0,
+                      amplitude_scale=1.0, traj=(),
                       eval_type: str = "distance"):
     """Build the TPWL dictionary along a fresh excitation trajectory
     (collect_TPWL_data, examples/diamond/diamond.py:140-191).
@@ -114,7 +129,8 @@ def collect_tpwl_data(robot, save_dir: str, threshold: float = 0.5,
     distance (the reference's tpwl_dynamics_config criterion,
     tpwl_utils.py:199-260)."""
     rom = pod.load_POD(os.path.join(save_dir, "pod_model.pkl"))
-    u, _ = _lhs_excitation(robot, nbr_samples, t_step, seed, amplitude_scale)
+    u, _ = _lhs_excitation(robot, nbr_samples, t_step, seed, amplitude_scale,
+                           traj=traj)
     dt = robot.dt
     X = np.asarray(simulate_chunked(robot.plant, robot.plant.x_rest(),
                                     jnp.asarray(u), dt))
@@ -147,23 +163,33 @@ def load_tpwl(robot, save_dir: str, discr_method: str = "be") -> TPWLModel:
 
 def tpwl_rollout_check(robot, save_dir: str, nbr_samples: int = 10,
                        seed: int = 333, t_step: float = 0.4,
-                       amplitude_scale: float = 1.0):
+                       amplitude_scale: float = 1.0, traj=None):
     """Open-loop ROM fidelity vs plant ground truth with MSE — the
     TPWL_rollout module test (examples/hardware/diamond.py:20-73). Also
-    reports `rel_err`, the z error normalized by the motion energy."""
+    reports `rel_err`, the z error normalized by the motion energy.
+
+    traj=(amplitude, period) scores fidelity on a held-out figure-8
+    ("infinity sign") excitation instead of LHS — the task-regime check
+    that actually predicts closed-loop tracking quality (the closed-loop
+    targets are figure-8s; an LHS-only check can look fine while the
+    dictionary has no points near the task orbit)."""
     model = load_tpwl(robot, save_dir).pre_discretize(robot.dt)
     if isinstance(amplitude_scale, (list, tuple)):
         # held-out fidelity is scored at the largest training scale — the
         # envelope the dictionary must cover
         amplitude_scale = max(amplitude_scale)
     s = robot.sequences
-    umax_save = np.asarray(s.umax).copy()
-    s.umax = amplitude_scale * umax_save
-    try:
-        u_seq, _, _ = s.lhs_sequence(nbr_samples=nbr_samples, t_step=t_step,
-                                     seed=seed)
-    finally:
-        s.umax = umax_save
+    if traj is not None:
+        u_seq, _, _ = s.traj_tracking(amplitude=float(traj[0]),
+                                      period=float(traj[1]))
+    else:
+        umax_save = np.asarray(s.umax).copy()
+        s.umax = amplitude_scale * umax_save
+        try:
+            u_seq, _, _ = s.lhs_sequence(nbr_samples=nbr_samples,
+                                         t_step=t_step, seed=seed)
+        finally:
+            s.umax = umax_save
     u = np.asarray(u_seq).T
     X = np.asarray(simulate_chunked(robot.plant, robot.plant.x_rest(),
                                     jnp.asarray(u), robot.dt))
