@@ -118,6 +118,13 @@ class LinearMPCService:
             self._fused_fn = jax.jit(_step)
             self._w = jnp.zeros((spec.n_var,), sdt)
             self._y = jnp.zeros((spec.n_con,), sdt)
+            # compile at construction: the first closed-loop solve must not
+            # pay the XLA compile (it lands in solve_times and the replan
+            # budget otherwise)
+            jax.block_until_ready(self._fused_fn(
+                jnp.zeros((nx,), sdt), jnp.zeros((N_ + 1, nz), sdt),
+                jnp.zeros((nz,), sdt), jnp.zeros((N_, nu), sdt),
+                self._w, self._y))
             self._fused = True
 
     def get_target(self, t0):
