@@ -358,8 +358,16 @@ class GuSTO:
         if success and self._plan_bound is not None:
             # plan sanity: the PLANNED output must stay within plan_bound of
             # the horizon target (inf-norm); a converged QP whose plan rides
-            # a wild model extrapolation is still a bad plan
-            exc = float(np.max(np.abs(np.asarray(z_opt, float) - z_arr)))
+            # a wild model extrapolation is still a bad plan. Only the
+            # COST-WEIGHTED output axes count: an axis with zero tracking
+            # weight (trunk Qz = diag(100,100,0), reference trunk.py:307)
+            # is free to the solver by construction, and the linear model's
+            # large excursions there would veto every plan the cost wants —
+            # deadlocking the loop on its initial plan (observed: constant
+            # ~336 mm z-axis "excursions" rejecting 100% of trunk solves).
+            wz = np.diag(np.asarray(self.Qz)) > 0
+            diff = np.abs(np.asarray(z_opt, float) - z_arr)[:, wz]
+            exc = float(np.max(diff)) if diff.size else 0.0
             if not np.isfinite(exc) or exc > self._plan_bound:
                 print(f"one-shot plan rejected (excursion {exc:.1f} > "
                       f"{self._plan_bound:.1f})")
