@@ -193,6 +193,18 @@ def main():
         summary["heldout_traj_rel_err"] = float(chk2["rel_err"])
         summary["collect_platform"] = dtype
 
+    if args.skip_collect:
+        # the dictionary on disk may have been pruned since collection
+        # (tools/prune_tpwl_dict.py) — refresh its provenance fields so the
+        # committed summary describes the artifact actually flown
+        import pickle
+        with open(os.path.join(d, "tpwl_model_snapshots.pkl"), "rb") as f:
+            dinfo = pickle.load(f).get("info", {})
+        if "nbr_lin" in dinfo:
+            summary["tpwl_points"] = int(dinfo["nbr_lin"])
+        if "pruned_from" in dinfo:
+            summary["tpwl_pruned_from"] = int(dinfo["pruned_from"])
+
     # figure-8 "infinity sign" target around the post-gravity rest tip
     # (trunk.py:299-303: -10 sin th / 10 sin 2th, period 10 s)
     Hf = robot.get_output_model()          # node-51 position (3,)
@@ -221,6 +233,11 @@ def main():
         # of the target (the +-10/12.5 mm figure-8 never needs more) — the
         # two guards that keep the real-time one-LOCP mode from flying model
         # extrapolations (round-3 regression: 380 mm planned excursions)
+        # feedback=False: the aggressive MPC cost (R=1e-5) makes DARE gains
+        # ~sqrt(Q/R) huge, and ROM model error (held-out rel ~0.16-0.25 on
+        # the trunk) through them saturates all 8 cables; at N_replan=2 the
+        # replanning loop itself is the feedback, like the reference's SSM
+        # controller (SSM/controllers.py:140-250)
         sim = recipes.run_scp(robot, d, tt, z_target, dt_solver=robot.dt,
                               N=args.solver_N, N_replan=2, Qz=Qz, R=R,
                               sim_duration=args.sim_duration, delay=1.0,
@@ -228,7 +245,7 @@ def main():
                               max_gusto_iters=0, is_tr_active=False,
                               locp_backend="condensed", dtype=jdtype,
                               oneshot_iters=2, plan_bound=40.0,
-                              u_sat=args.u_bound)
+                              u_sat=args.u_bound, feedback=False)
         z = np.asarray(sim["z"])
         t = np.asarray(sim["t"])
         # score vs z_target(t - delay): the controller plan clock starts at
@@ -252,8 +269,13 @@ def main():
         # envelope — the LQR feedback term is invisible to the planner's U
         # bound, and unsaturated it pins all 8 cables at the 800 plant limit
         # once model error accumulates (see _run_and_save docstring)
+        # R=1e-2 (the recipe default): iLQR's time-varying feedback gains
+        # scale like sqrt(Q/R), and at R=1e-4 trunk ROM error (~16% held-out)
+        # through those gains saturates all 8 cables and flies the plant
+        # (45.6 mm RMSE, 334 mm z-span observed); the cheap-input planning
+        # benefit is nil once u_sat clips at the training envelope anyway
         sim = recipes.run_ilqr(robot, d, tt, z_target, Qz=Qz,
-                               R=1e-4 * np.eye(8),
+                               R=1e-2 * np.eye(8),
                                sim_duration=args.sim_duration, delay=1.0,
                                tf=args.sim_duration, save_prefix="ilqr_fig8",
                                u_sat=args.u_bound)

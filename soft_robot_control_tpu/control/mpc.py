@@ -41,23 +41,37 @@ class scp(TemplateController):
         self.z_opt_horizon = []
         self.t_opt_horizon = []
         self.mpc = kwargs.pop("mpc", False)
+        # LQR feedback around the plan (reference default). feedback=False
+        # flies the feedforward alone, like the reference's SSM controller
+        # (SSM/controllers.py:140-250): when N_replan is small the MPC loop
+        # itself closes the loop through x0 = belief, and DARE gains built
+        # from an aggressive MPC cost (R ~ 1e-5) amplify ROM model error
+        # into input saturation on the trunk (gain ~ sqrt(Q/R)).
+        self.feedback = bool(kwargs.pop("feedback", True))
+        # optional tamer feedback cost: gains from DARE with this R instead
+        # of the MPC R (the plan keeps the MPC cost)
+        feedback_R = kwargs.pop("feedback_R", None)
         self.GuSTO = solver_service  # set via set_service() if None
 
         # per-TPWL-point DARE feedback gains (tpwl/controllers.py:239-246).
         # A discrete-native dictionary at this dt (TetFEM campaigns) supplies
         # exact A_d/B_d; re-discretizing the continuous family there would
         # reintroduce the Galerkin resolvent error and corrupt the gains.
-        if (getattr(dyn_sys, "A_d", None) is not None
-                and getattr(dyn_sys, "pre_discretized_dt", None) is not None
-                and abs(dyn_sys.pre_discretized_dt - dt) < 1e-12):
-            A_d, B_d = dyn_sys.A_d, dyn_sys.B_d
+        if not self.feedback:
+            self.K = None
         else:
-            dareb = jax.vmap(lambda A, B, d: self.dyn_sys.discretize_dynamics(A, B, d, dt)[:2])
-            A_d, B_d = dareb(dyn_sys.A_c, dyn_sys.B_c, dyn_sys.d_c)
-        Q = jnp.asarray(cost.Q, A_d.dtype)
-        R = jnp.asarray(cost.R, A_d.dtype)
-        K, _ = jax.vmap(lambda a, b: dare(a, b, Q, R))(A_d, B_d)
-        self.K = np.asarray(K)
+            if (getattr(dyn_sys, "A_d", None) is not None
+                    and getattr(dyn_sys, "pre_discretized_dt", None) is not None
+                    and abs(dyn_sys.pre_discretized_dt - dt) < 1e-12):
+                A_d, B_d = dyn_sys.A_d, dyn_sys.B_d
+            else:
+                dareb = jax.vmap(lambda A, B, d: self.dyn_sys.discretize_dynamics(A, B, d, dt)[:2])
+                A_d, B_d = dareb(dyn_sys.A_c, dyn_sys.B_c, dyn_sys.d_c)
+            Q = jnp.asarray(cost.Q, A_d.dtype)
+            R = jnp.asarray(cost.R if feedback_R is None else feedback_R,
+                            A_d.dtype)
+            K, _ = jax.vmap(lambda a, b: dare(a, b, Q, R))(A_d, B_d)
+            self.K = np.asarray(K)
 
     def set_service(self, service):
         self.GuSTO = service
@@ -115,6 +129,8 @@ class scp(TemplateController):
         (tpwl/controllers.py:326-333)."""
         self.GuSTO.force_spin()
         u_bar = _interp_rows(np.asarray([t_step]), self.t_opt, self.u_opt)[0]
+        if self.K is None:
+            return u_bar
         x_bar = _interp_rows(np.asarray([t_step]), self.t_opt, self.x_opt)[0]
         i_near = int(self.dyn_sys.calc_nearest_point(jnp.asarray(x_bar)))
         u = u_bar + self.K[i_near] @ (np.asarray(x_belief) - x_bar)

@@ -211,7 +211,8 @@ def tpwl_rollout_check(robot, save_dir: str, nbr_samples: int = 10,
 
 def run_scp(robot, save_dir: str, t_target, z_target, dt_solver=None, N=5,
             N_replan=2, Qz=None, R=None, sim_duration=6.0, delay=1.0,
-            U=None, dU=None, save_prefix="scp", u_sat=None, **gusto_kwargs):
+            U=None, dU=None, save_prefix="scp", u_sat=None, feedback=True,
+            feedback_R=None, **gusto_kwargs):
     """GuSTO SCP MPC closed loop with EKF — the run_scp + run_gusto_solver
     recipe pair (examples/diamond/diamond.py:194-316) with the solver
     in-process. Saves {save_prefix}_sim.pkl."""
@@ -247,7 +248,8 @@ def run_scp(robot, save_dir: str, t_target, z_target, dt_solver=None, N=5,
     observer = DiscreteEKFObserver(model, W=np.diag(dx_char + 1e-8),
                                    V=0.1 * np.eye(Cf.shape[0]))
     controller = scp(model, cost, dt, N_replan=N_replan, observer=observer,
-                     delay=delay, wait=True, solver_service=service, mpc=True)
+                     delay=delay, wait=True, solver_service=service, mpc=True,
+                     feedback=feedback, feedback_R=feedback_R)
 
     sim = _run_and_save(robot, controller, sim_duration, save_dir, save_prefix,
                         u_sat=u_sat)
