@@ -157,6 +157,18 @@ def main():
         json.dump(results, f, indent=1)
     print(f"[{time.time()-t0:6.1f}s] saved diamond_baselines.json", flush=True)
 
+    # fail loudly if this run regressed the committed artifact gates
+    import subprocess
+    rc = subprocess.call([sys.executable, "-m", "pytest", "-q",
+                          "-k", "baselines",
+                          os.path.join(os.path.dirname(os.path.dirname(
+                              os.path.abspath(__file__))), "tests",
+                              "test_campaign_artifacts.py")],
+                         env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    if rc != 0:
+        print("ARTIFACT GATES FAILED — do not commit this run", flush=True)
+        sys.exit(rc)
+
 
 if __name__ == "__main__":
     main()

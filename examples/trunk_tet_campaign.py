@@ -225,14 +225,16 @@ def main():
     jdtype = jnp.float64 if dtype == "float64" else jnp.float32
 
     if not args.skip_mpc:
-        # solver at the dictionary-native dt with one LOCP per query — the
-        # real-time configuration the diamond campaign validated (see
-        # diamond_tet_campaign.py notes on the TR epigraph at this scale)
-        # oneshot_iters=2 relinearizes once inside the fused device call;
-        # plan_bound rejects plans whose PLANNED tip leaves a 40 mm envelope
-        # of the target (the +-10/12.5 mm figure-8 never needs more) — the
-        # two guards that keep the real-time one-LOCP mode from flying model
-        # extrapolations (round-3 regression: 380 mm planned excursions)
+        # device_tr=True: the FULL trust-region SCP loop runs on device
+        # (scp/gusto_jit.py lax.while_loop) — one dispatch per MPC query
+        # with the reference's TR semantics intact (trunk.py:322 keeps the
+        # GuSTO trust region via GUROBI for exactly this robot). The
+        # one-LOCP no-TR real-time mode cannot police model extrapolation
+        # on a piecewise-linear model: the Taylor gate rho_k is ~0 by
+        # construction, so the solver happily planned 170-380 mm excursions
+        # on a 195 mm trunk (round-3 regression). plan_bound stays as a
+        # belt-and-braces reject (40 mm envelope around the +-10/12.5 mm
+        # figure-8 target).
         # feedback=False: the aggressive MPC cost (R=1e-5) makes DARE gains
         # ~sqrt(Q/R) huge, and ROM model error (held-out rel ~0.16-0.25 on
         # the trunk) through them saturates all 8 cables; at N_replan=2 the
@@ -242,9 +244,8 @@ def main():
                               N=args.solver_N, N_replan=2, Qz=Qz, R=R,
                               sim_duration=args.sim_duration, delay=1.0,
                               U=U, save_prefix="scp_fig8",
-                              max_gusto_iters=0, is_tr_active=False,
                               locp_backend="condensed", dtype=jdtype,
-                              oneshot_iters=2, plan_bound=40.0,
+                              device_tr=True, plan_bound=40.0,
                               u_sat=args.u_bound, feedback=False)
         z = np.asarray(sim["z"])
         t = np.asarray(sim["t"])

@@ -114,6 +114,18 @@ class GuSTO:
         # match the host condensed adapter's f32/f64 gates
         self._accept_pri = kwargs.pop("accept_pri_rel", None)
         self._accept_dua = kwargs.pop("accept_dua_rel", None)
+        # device_tr=True runs the FULL trust-region SCP loop on device
+        # (scp/gusto_jit.py lax.while_loop) — one dispatch per MPC query
+        # with the reference's TR semantics intact. The one-LOCP real-time
+        # mode has no mechanism against model extrapolation when the model
+        # is piecewise-linear: the Taylor-accuracy gate rho_k is ~0 for a
+        # PWL model by construction, so a no-TR LOCP happily plans 170 mm
+        # excursions on a 195 mm trunk (observed). The TR loop bounds each
+        # SCP step and relinearizes along the way, following the dictionary.
+        self._device_tr = bool(kwargs.pop("device_tr", False))
+        self._device_tr_iters = int(kwargs.pop("device_tr_max_iters", 30))
+        self._device_tr_qp_iters = int(kwargs.pop("device_tr_qp_iters", 200))
+        self._device_tr_rho_qp = float(kwargs.pop("device_tr_rho_qp", 0.1))
 
         self.nonlinear_observer = bool(getattr(model, "nonlinear_observer", False))
 
@@ -153,6 +165,32 @@ class GuSTO:
                              warm_start=warm_start, x_char=self.x_char,
                              nonlinear_observer=self.nonlinear_observer,
                              **kwargs)
+
+        # device-resident TR loop (see device_tr above): compiled once per
+        # problem shape, first call at the construction-time solve
+        self._jit_tr = None
+        if self._device_tr:
+            if locp_backend != "condensed":
+                raise NotImplementedError(
+                    "device_tr requires locp_backend='condensed'")
+            if Qzf is not None or Xf is not None:
+                raise NotImplementedError(
+                    "device_tr supports the no-terminal LOCP")
+            if self.nonlinear_observer:
+                raise NotImplementedError(
+                    "device_tr supports linear observers (z = H x)")
+            from soft_robot_control_tpu.scp.gusto_jit import GuSTOJit
+            self._jit_tr = GuSTOJit(
+                model, N, dt, Qz, R, U=U, dU=dU, X=X,
+                x_char=self.x_char, f_char=self.f_char,
+                max_iters=self._device_tr_iters,
+                qp_iters=self._device_tr_qp_iters,
+                rho_qp=self._device_tr_rho_qp,
+                delta0=p.delta0, omega0=p.omega0, rho=p.rho,
+                beta_fail=p.beta_fail, gamma_fail=p.gamma_fail,
+                omega_max=p.omega_max, epsilon=p.epsilon,
+                convg_thresh=p.convg_thresh,
+                formulation="condensed", dtype=self.locp.spec.dtype)
 
         # vmapped trajectory linearizations (gusto.py:225-281, loop-free)
         self._traj_dyn = jax.jit(jax.vmap(
@@ -332,6 +370,62 @@ class GuSTO:
 
         return jax.jit(step)
 
+    def _plan_excursion(self, z_opt, z_arr):
+        """Max deviation of the PLANNED output from the horizon target.
+
+        Only the COST-WEIGHTED output axes count: an axis with zero
+        tracking weight (trunk Qz = diag(100,100,0), reference
+        trunk.py:307) is free to the solver by construction, and the
+        linear model's large excursions there would veto every plan the
+        cost wants — deadlocking the loop on its initial plan (observed:
+        constant ~336 mm z-axis "excursions" rejecting 100% of trunk
+        solves)."""
+        wz = np.diag(np.asarray(self.Qz)) > 0
+        diff = np.abs(np.asarray(z_opt, float) - np.asarray(z_arr))[:, wz]
+        return float(np.max(diff)) if diff.size else 0.0
+
+    def _solve_device_tr(self, x0, u_init, x_init, z, u):
+        """Full trust-region SCP loop on device: ONE dispatch per MPC query
+        (scp/gusto_jit.py while_loop — linearize, assemble, fixed-iteration
+        ADMM, TR accept/reject, delta/omega schedules, convergence). Keeps
+        the reference's TR semantics (gusto.py:283-488) at real-time cost:
+        the host loop pays a device->host->device bounce per SCP iteration
+        (~25 ms RTT each on the tunneled TPU); this path pays one."""
+        t0 = time.time()
+        N, nz, nu = self.N, self.n_z, self.n_u
+        z_arr = np.zeros((N + 1, nz)) if z is None else np.asarray(z)
+        u_des = np.zeros((N, nu)) if u is None else np.asarray(u)
+        res = self._jit_tr.solve(np.asarray(x0, float),
+                                 np.asarray(u_init, float),
+                                 np.asarray(x_init, float),
+                                 z_arr, u_des)
+        x_opt = np.asarray(res.x, float)
+        u_opt = np.asarray(res.u, float)
+        success = bool(np.isfinite(x_opt).all() and np.isfinite(u_opt).all())
+        z_opt = self._z_of(x_opt) if success else None
+        if success and self._plan_bound is not None:
+            exc = self._plan_excursion(z_opt, z_arr)
+            if not np.isfinite(exc) or exc > self._plan_bound:
+                print(f"device-TR plan rejected (excursion {exc:.1f} > "
+                      f"{self._plan_bound:.1f}, iters {int(res.iters)}, "
+                      f"converged {bool(res.converged)})")
+                success = False
+        if success:
+            self.xopt = x_opt
+            self.uopt = u_opt
+            self.zopt = np.asarray(z_opt, float)
+        else:
+            # keep-old-plan failure semantics (same as the host loop)
+            self.plan_rejects += 1
+            self.xopt = np.asarray(x_init, float)
+            self.uopt = np.asarray(u_init, float)
+            self.zopt = self._z_of(self.xopt)
+        self.itr_count = int(res.iters)
+        self.locp_solve_time = time.time() - t0
+        self.x_k = self.xopt
+        self.u_k = self.uopt
+        return
+
     def _solve_oneshot(self, x0, u_init, x_init, z, u):
         """Fast path for max_gusto_iters=0 (see __init__). Mirrors the host
         loop's single-iteration semantics: accept on the adapter's relative
@@ -356,18 +450,7 @@ class GuSTO:
         # call returns the incoming plan unchanged)
         success = bool(any_ok)
         if success and self._plan_bound is not None:
-            # plan sanity: the PLANNED output must stay within plan_bound of
-            # the horizon target (inf-norm); a converged QP whose plan rides
-            # a wild model extrapolation is still a bad plan. Only the
-            # COST-WEIGHTED output axes count: an axis with zero tracking
-            # weight (trunk Qz = diag(100,100,0), reference trunk.py:307)
-            # is free to the solver by construction, and the linear model's
-            # large excursions there would veto every plan the cost wants —
-            # deadlocking the loop on its initial plan (observed: constant
-            # ~336 mm z-axis "excursions" rejecting 100% of trunk solves).
-            wz = np.diag(np.asarray(self.Qz)) > 0
-            diff = np.abs(np.asarray(z_opt, float) - z_arr)[:, wz]
-            exc = float(np.max(diff)) if diff.size else 0.0
+            exc = self._plan_excursion(z_opt, z_arr)
             if not np.isfinite(exc) or exc > self._plan_bound:
                 print(f"one-shot plan rejected (excursion {exc:.1f} > "
                       f"{self._plan_bound:.1f})")
@@ -400,6 +483,8 @@ class GuSTO:
 
     def solve(self, x0, u_init, x_init, z=None, zf=None, u=None):
         """SCP iteration loop; semantics follow gusto.py:283-488."""
+        if self._jit_tr is not None:
+            return self._solve_device_tr(x0, u_init, x_init, z, u)
         if self._oneshot is not None and self.params.max_gusto_iters == 0:
             return self._solve_oneshot(x0, u_init, x_init, z, u)
         t0 = time.time()
