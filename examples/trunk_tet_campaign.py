@@ -73,6 +73,28 @@ def main():
                     "u<=200 training envelope (the reference keeps the full "
                     "GuSTO trust region via GUROBI instead, trunk.py:322); "
                     "bounding U at the data envelope plays that role")
+    ap.add_argument("--mpc-R", type=float, default=1e-2,
+                    help="MPC input cost weight. The reference's R=1e-5 "
+                    "(trunk.py:308) prices inputs at bang-bang: the planned "
+                    "model excursion is sub-mm but the 0->250 mN step inputs "
+                    "are far outside what the TPWL dictionary (trained on "
+                    "smooth figure-8/LHS excitation) can predict — the real "
+                    "plant flips within 0.5 s of control start (observed: "
+                    "tip +128 mm in y, z 195->3 mm). R=1e-2 keeps the plan "
+                    "inside the model's validity regime, like the iLQR leg")
+    ap.add_argument("--mpc-dU", type=float, default=0.0,
+                    help="per-step input rate bound |u_k+1 - u_k| (mN); the "
+                    "reference LOCP supports the same dU polytope "
+                    "(scp/locp.py:296-302). 0 disables (default: R=1e-2 "
+                    "alone keeps inputs smooth, and the device-TR condensed "
+                    "path mis-solves in-loop dU QPs — construction solves "
+                    "are fine but warm-started belief-x0 solves 'converge' "
+                    "40-240 mm off target; see tests/test_gusto_jit.py)")
+    ap.add_argument("--ilqr-feedback-R", type=float, default=None,
+                    help="decouple the iLQR EXECUTION feedback gains from "
+                    "the planning R: gains recomputed along the converged "
+                    "plan by a tracking-LQR pass at this R (inf = pure "
+                    "feedforward replay; default keeps the iLQR gains)")
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--skip-collect", action="store_true",
                     help="reuse the existing POD/TPWL artifacts in --out")
@@ -139,8 +161,8 @@ def main():
         "collect": ["rom_dim", "tpwl_points", "heldout_rel_err",
                     "heldout_traj_rel_err", "collect_platform"],
         "mpc": ["scp_rmse_mm", "scp_solve_ms_mean", "scp_plan_rejects",
-                "mpc_platform"],
-        "ilqr": ["ilqr_rmse_mm", "ilqr_platform"],
+                "mpc_platform", "mpc_R", "mpc_dU"],
+        "ilqr": ["ilqr_rmse_mm", "ilqr_platform", "ilqr_feedback_R"],
     }
     for stage, skip in (("collect", args.skip_collect),
                         ("mpc", args.skip_mpc), ("ilqr", args.skip_ilqr)):
@@ -217,9 +239,11 @@ def main():
     z_target[:, 0] += -10.0 * np.sin(th)
     z_target[:, 1] += 10.0 * np.sin(2 * th)
     Qz = np.diag([100.0, 100.0, 0.0])
-    R = 1e-5 * np.eye(8)
+    R = args.mpc_R * np.eye(8)
     from soft_robot_control_tpu.core.constraints import HyperRectangle
     U = HyperRectangle(args.u_bound * np.ones(8), np.zeros(8))
+    dU = None if args.mpc_dU <= 0 else HyperRectangle(
+        args.mpc_dU * np.ones(8), -args.mpc_dU * np.ones(8))
 
     import jax.numpy as jnp
     jdtype = jnp.float64 if dtype == "float64" else jnp.float32
@@ -243,7 +267,7 @@ def main():
         sim = recipes.run_scp(robot, d, tt, z_target, dt_solver=robot.dt,
                               N=args.solver_N, N_replan=2, Qz=Qz, R=R,
                               sim_duration=args.sim_duration, delay=1.0,
-                              U=U, save_prefix="scp_fig8",
+                              U=U, dU=dU, save_prefix="scp_fig8",
                               locp_backend="condensed", dtype=jdtype,
                               device_tr=True, plan_bound=40.0,
                               u_sat=args.u_bound, feedback=False)
@@ -260,6 +284,10 @@ def main():
               f"{rmse:.3f} mm (vs delay-shifted target)", flush=True)
         summary["scp_rmse_mm"] = rmse
         summary["mpc_platform"] = dtype
+        summary["scp_plan_rejects"] = int(sim.get("info", {}).get(
+            "plan_rejects", 0))
+        summary["mpc_R"] = args.mpc_R
+        summary["mpc_dU"] = args.mpc_dU
         st = np.asarray(sim.get("info", {}).get("solve_times", []))
         if st.size:
             summary["scp_solve_ms_mean"] = float(st.mean() * 1e3)
@@ -279,7 +307,8 @@ def main():
                                R=1e-2 * np.eye(8),
                                sim_duration=args.sim_duration, delay=1.0,
                                tf=args.sim_duration, save_prefix="ilqr_fig8",
-                               u_sat=args.u_bound)
+                               u_sat=args.u_bound,
+                               feedback_R=args.ilqr_feedback_R)
         z = np.asarray(sim["z"])
         t = np.asarray(sim["t"])
         zt = np.stack([np.interp(t - 1.0, tt, z_target[:, j])
@@ -291,6 +320,8 @@ def main():
               f"{rmse:.3f} mm (vs delay-shifted target)", flush=True)
         summary["ilqr_rmse_mm"] = rmse
         summary["ilqr_platform"] = dtype
+        if args.ilqr_feedback_R is not None:
+            summary["ilqr_feedback_R"] = args.ilqr_feedback_R
 
     with open(os.path.join(d, "trunk_tpwl_campaign.json"), "w") as f:
         json.dump(summary, f, indent=1)

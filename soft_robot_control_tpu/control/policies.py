@@ -92,10 +92,19 @@ class ilqr(TemplateController):
     (tpwl/controllers.py:135-206)."""
 
     def __init__(self, dyn_sys, cost_params, target, dt=0.01, observer=None,
-                 delay=2.0, u0=None, **kwargs):
+                 delay=2.0, u0=None, feedback_R=None, **kwargs):
         super().__init__(dyn_sys, cost_params, dt=dt, observer=observer,
                          delay=delay, u0=u0)
         self.target = target
+        # feedback_R decouples the PLANNING input cost from the FEEDBACK
+        # gains, like run_scp's feedback_R: the reference plans trunk iLQR
+        # with R=1e-5 (trunk.py:374), but executing u = u_bar + K(x - x_bar)
+        # with the cheap-R gains (K ~ sqrt(Q/R)) amplifies TPWL model error
+        # (held-out rel ~0.16-0.25) into all-cable saturation on the real
+        # plant. With feedback_R set, K is recomputed along the converged
+        # (x_bar, u_bar) by a tracking-LQR backward pass (lqr/tvlqr.py) at
+        # that R; feedback_R=np.inf gives the pure-feedforward replay.
+        self.feedback_R = feedback_R
         self.setpoint_reaching = True
         self.validate_problem()
         tf = kwargs.get("tf") if self.setpoint_reaching else float(np.asarray(target.t)[-1])
@@ -132,6 +141,25 @@ class ilqr(TemplateController):
         self.policy.set_target(z_target)
         self.x_bar, self.u_bar, self.K = self.policy.ilqr_computation(
             np.asarray(x_belief, float))
+        if self.feedback_R is not None:
+            R_fb = np.asarray(self.feedback_R, float)
+            if R_fb.ndim == 0 and not np.isfinite(R_fb):
+                self.K = np.zeros_like(np.asarray(self.K))
+                return
+            if R_fb.ndim == 0:
+                R_fb = float(R_fb) * np.eye(self.input_dim)
+            import jax
+            import jax.numpy as jnp
+
+            from soft_robot_control_tpu.lqr.tvlqr import tv_lqr_backward
+
+            jac = jax.vmap(lambda x, u_: self.dyn_sys.get_jacobians(
+                x, u=u_, dt=self.dt)[:2])
+            A, B = jac(jnp.asarray(self.x_bar[:-1]), jnp.asarray(self.u_bar))
+            H = np.asarray(self.dyn_sys.H)
+            Qx = H.T @ np.asarray(self.cost_params.Q, float) @ H
+            K, _ = tv_lqr_backward(A, B, jnp.asarray(Qx), jnp.asarray(R_fb))
+            self.K = np.asarray(K)
 
     def compute_input(self, t_step, x_belief):
         if t_step > self.final_time:

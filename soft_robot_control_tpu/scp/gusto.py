@@ -124,8 +124,13 @@ class GuSTO:
         # SCP step and relinearizes along the way, following the dictionary.
         self._device_tr = bool(kwargs.pop("device_tr", False))
         self._device_tr_iters = int(kwargs.pop("device_tr_max_iters", 30))
-        self._device_tr_qp_iters = int(kwargs.pop("device_tr_qp_iters", 200))
+        # 400 iters / 4 rho-rebalance stages: measured on the trunk
+        # campaign's condensed TR QP (N=50, 8 cables, 401 vars x 6801 rows)
+        # — f32 relative residuals reach pri ~1e-5 / dua ~3e-5 there, while
+        # 200/2 is borderline at the acceptance gates (1e-3/1e-2)
+        self._device_tr_qp_iters = int(kwargs.pop("device_tr_qp_iters", 400))
         self._device_tr_rho_qp = float(kwargs.pop("device_tr_rho_qp", 0.1))
+        self._device_tr_qp_stages = int(kwargs.pop("device_tr_qp_stages", 4))
 
         self.nonlinear_observer = bool(getattr(model, "nonlinear_observer", False))
 
@@ -186,6 +191,8 @@ class GuSTO:
                 max_iters=self._device_tr_iters,
                 qp_iters=self._device_tr_qp_iters,
                 rho_qp=self._device_tr_rho_qp,
+                qp_stages=self._device_tr_qp_stages,
+                accept_pri=self._accept_pri, accept_dua=self._accept_dua,
                 delta0=p.delta0, omega0=p.omega0, rho=p.rho,
                 beta_fail=p.beta_fail, gamma_fail=p.gamma_fail,
                 omega_max=p.omega_max, epsilon=p.epsilon,

@@ -30,6 +30,8 @@ import numpy as np
 
 from soft_robot_control_tpu.control.batch_mpc import (admm_fixed,
                                                        admm_fixed_kinv,
+                                                       admm_staged_kinv,
+                                                       equilibrate_qp,
                                                        make_kinv)
 from soft_robot_control_tpu.scp.gusto import (BETA_FAIL, CONVERGE, DELTA0,
                                               EPSILON, GAMMA_FAIL, OMEGA0,
@@ -59,7 +61,9 @@ class GuSTOJit:
                  beta_fail=BETA_FAIL, gamma_fail=GAMMA_FAIL,
                  omega_max=OMEGA_MAX, epsilon=EPSILON,
                  convg_thresh=CONVERGE, x_step: str = "chol",
-                 formulation: str = "sparse", dtype=jnp.float64):
+                 formulation: str = "sparse", dtype=jnp.float64,
+                 qp_stages: int = 2, scaling_iters: int = 6,
+                 accept_pri=None, accept_dua=None):
         self.model = model
         self.N = int(N)
         self.dt = float(dt)
@@ -74,6 +78,23 @@ class GuSTOJit:
         self.n_x, self.n_u = model.n_x, model.n_u
         self.n_z = np.asarray(Qz).shape[0]
         self.X = X
+        # QP acceptance: relative KKT residual thresholds for the condensed
+        # fixed-iteration ADMM (the host loop gets this gate from
+        # locp.solve()'s success flag; without it a stalled ADMM solution
+        # sails through the TR tests — for a piecewise-linear model the
+        # Taylor-accuracy ratio rho_k is ~0 by construction and delta0=1e4
+        # never binds, so an unsolved QP is "accepted and converged").
+        # Observed on the trunk campaign (N=50, 8 cables, f32): unequili-
+        # brated rho=0.1 ADMM returns plans 48-108 mm off a +-10 mm target
+        # that the loop declares converged in 1-3 iterations.
+        self.qp_stages = max(1, int(qp_stages))
+        self.scaling_iters = int(scaling_iters)
+        if accept_pri is None:
+            accept_pri = 1e-3 if dtype == jnp.float32 else 1e-5
+        if accept_dua is None:
+            accept_dua = 1e-2 if dtype == jnp.float32 else 1e-4
+        self.accept_pri = float(accept_pri)
+        self.accept_dua = float(accept_dua)
         self.spec = LOCPSpec(self.N, np.asarray(model.H), np.asarray(Qz),
                              np.asarray(R), U=U, dU=dU, X=X, x_char=x_char,
                              is_tr_active=True, dtype=dtype)
@@ -120,6 +141,10 @@ class GuSTOJit:
         lin_d = jax.vmap(lambda x, u_: model.get_discrete_dynamics(x, u_, dt))
         lin_c = jax.vmap(model.get_continuous_dynamics)
 
+        acc_pri = jnp.asarray(self.accept_pri, self.dtype)
+        acc_dua = jnp.asarray(self.accept_dua, self.dtype)
+        hi = jax.lax.Precision.HIGHEST
+
         def qp(x_k, u_k, x0, z, u_des, delta, omega, warm):
             Ad, Bd, dd = lin_d(x_k[:-1], u_k)
             if self.formulation == "condensed":
@@ -131,13 +156,42 @@ class GuSTOJit:
                     cd=jnp.zeros((N + 1, n_z), self.dtype),
                     xk=x_k, delta=delta, omega=omega)
                 P, q, A, l, u_b, const, xfree, G = self.cspec.assemble(cp)
-                Kinv = make_kinv(P, A, self.rho_vec_c)
-                w, y = admm_fixed_kinv(Kinv, q, A, l, u_b, warm[0], warm[1],
-                                       self.rho_vec_c, qp_iters)
+                # Ruiz equilibration + staged rho rebalancing: the raw
+                # condensed rows mix G-chain output scales with mN input
+                # bounds (~1e4 apart) and no single rho converges both
+                # residuals — the same fix that took the batched MPC's rel
+                # tracking error 0.45 -> 0.0105 (control/batch_mpc.py
+                # equilibrate_qp docstring)
+                Ps, qs, As, ls, us, w0s, y0s, (dv, ev, cc) = equilibrate_qp(
+                    P, q, A, l, u_b, warm[0], warm[1],
+                    iters=self.scaling_iters)
+                ws, ys = admm_staged_kinv(Ps, qs, As, ls, us, w0s, y0s,
+                                          self.rho_vec_c, qp_iters,
+                                          stages=self.qp_stages)
+                w = dv * ws
+                y = ev * ys / cc
+                # relative KKT residuals in the original space -> qp_ok
+                Ax = jnp.matmul(A, w, precision=hi)
+                zz = jnp.clip(Ax, l, u_b)
+                pri = jnp.max(jnp.abs(Ax - zz))
+                pri_sc = jnp.maximum(jnp.maximum(
+                    jnp.max(jnp.abs(Ax)), jnp.max(jnp.abs(zz))), 1.0)
+                Pw = jnp.matmul(P, w, precision=hi)
+                Aty = jnp.matmul(A.T, y, precision=hi)
+                # stationarity gated on the CONTROL block only: the TR
+                # slack's dual (one epigraph variable shared by 2*N*nx rows)
+                # converges an order slower than the controls and its error
+                # only mis-prices the slack, not the plan
+                dua = jnp.max(jnp.abs((Pw + q + Aty)[:N * n_u]))
+                dua_sc = jnp.maximum(
+                    jnp.maximum(jnp.max(jnp.abs(Pw)), jnp.max(jnp.abs(Aty))),
+                    jnp.maximum(jnp.max(jnp.abs(q)), 1.0))
+                qp_ok = (pri < acc_pri * pri_sc) & (dua < acc_dua * dua_sc) \
+                    & jnp.isfinite(pri) & jnp.isfinite(dua)
                 u_n = w[:N * n_u].reshape(N, n_u)
                 x_n = self.cspec.recover_x(xfree, G, w)
                 J = 0.5 * w @ (P @ w) + q @ w + const
-                return x_n, u_n, J, (w, y)
+                return x_n, u_n, J, (w, y), qp_ok
             params = LOCPParams(
                 Ad=Ad, Bd=Bd, dd=dd, x0=x0, xk=x_k, delta=delta, omega=omega,
                 z=z, zf=jnp.zeros(n_z, self.dtype), u_des=u_des,
@@ -154,7 +208,7 @@ class GuSTOJit:
             x_n = w[spec.off_x:spec.off_u].reshape(N + 1, n_x)
             u_n = w[spec.off_u:spec.off_u + N * n_u].reshape(N, n_u)
             J = 0.5 * w @ (P @ w) + q @ w + const
-            return x_n, u_n, J, (w, y)
+            return x_n, u_n, J, (w, y), jnp.asarray(True)
 
         def accuracy(x_n, u_n, x_k, u_k, J):
             f_new, _, _ = lin_c(x_n[:-1], u_n)
@@ -174,9 +228,10 @@ class GuSTOJit:
                 return (itr < max_iters) & (~conv) & (omega <= p["omega_max"])
 
             def body(c):
-                (x_k, u_k, delta, omega, Jp, dp, op, itr, conv, warm, J_last) = c
-                x_n, u_n, J, warm_n = qp(x_k, u_k, x0, z, u_des, delta, omega,
-                                         warm)
+                (x_k, u_k, delta, omega, Jp, dp, op, itr, conv, warm,
+                 J_last) = c
+                x_n, u_n, J, warm_n, qp_ok = qp(x_k, u_k, x0, z, u_des,
+                                                delta, omega, warm)
                 # trust region (scaled max row inf-norm)
                 max_diff = jnp.max(jnp.max(jnp.abs(x_scale * (x_n - x_k)),
                                            axis=1))
@@ -191,12 +246,21 @@ class GuSTOJit:
                     X_ok = viol <= p["epsilon"]
                 else:
                     X_ok = jnp.asarray(True)
-                accept = tr_ok & ~rho_bad
-                # schedules
+                # a QP that misses the residual gates is NOT a valid SCP
+                # step (the host loop gets this from locp.solve()'s success
+                # flag; the TR tests cannot police a stalled ADMM result —
+                # rho_k ~ 0 for PWL models and delta0=1e4 never binds).
+                # Instead of aborting like the host, carry the ADMM state
+                # and leave (x_k, delta, omega) untouched: the next TR
+                # iteration re-solves the SAME QP warm-started where this
+                # one stopped, i.e. the iteration budget extends until the
+                # gate passes or max_iters runs out.
+                accept = tr_ok & ~rho_bad & qp_ok
+                # schedules (frozen while the QP is unsolved)
                 delta_new = jnp.where(
-                    tr_ok & rho_bad, p["beta_fail"] * delta,
+                    tr_ok & rho_bad & qp_ok, p["beta_fail"] * delta,
                     jnp.where(accept & mod1, p["beta_fail"] * delta, delta))
-                omega_new = jnp.where(~tr_ok, p["gamma_fail"] * omega,
+                omega_new = jnp.where(~tr_ok & qp_ok, p["gamma_fail"] * omega,
                                       jnp.where(accept & ~X_ok,
                                                 p["gamma_fail"] * omega,
                                                 omega))
@@ -210,8 +274,9 @@ class GuSTOJit:
                 Jp_new = jnp.where(accept, J, Jp)
                 x_k = jnp.where(accept, x_n, x_k)
                 u_k = jnp.where(accept, u_n, u_k)
+                carry_warm = accept | ~qp_ok
                 warm = jax.tree_util.tree_map(
-                    lambda a, b: jnp.where(accept, a, b), warm_n, warm)
+                    lambda a, b: jnp.where(carry_warm, a, b), warm_n, warm)
                 return (x_k, u_k, delta_new, omega_new, Jp_new, dp_new,
                         op_new, itr + 1, conv_new, warm,
                         jnp.where(accept, J, J_last))
@@ -229,7 +294,18 @@ class GuSTOJit:
             return GuSTOJitResult(x=x_k, u=u_k, iters=c[7], converged=c[8],
                                   J=c[10])
 
-        return solve
+        def solve_pinned(*args):
+            # TPU f32 matmuls default to bf16 passes; the condensed QP
+            # assembly / KKT factorization / linearization rollouts here are
+            # exactly the ops that stalled ADMM on the trunk's N=50 x
+            # 8-cable LOCP until pinned (see STATUS r3 and the same pin
+            # inside admm_fixed_kinv). Trunk campaign on device, unpinned:
+            # "converged" plans 42-119 mm off a +-12 mm target; pinned on
+            # CPU the identical solves stay within 13 mm.
+            with jax.default_matmul_precision("highest"):
+                return solve(*args)
+
+        return solve_pinned
 
     # ------------------------------------------------------------------
     def solve(self, x0, u_init, x_init, z, u_des=None):

@@ -212,7 +212,7 @@ def tpwl_rollout_check(robot, save_dir: str, nbr_samples: int = 10,
 def run_scp(robot, save_dir: str, t_target, z_target, dt_solver=None, N=5,
             N_replan=2, Qz=None, R=None, sim_duration=6.0, delay=1.0,
             U=None, dU=None, save_prefix="scp", u_sat=None, feedback=True,
-            feedback_R=None, **gusto_kwargs):
+            feedback_R=None, ekf_W_scale=1.0, **gusto_kwargs):
     """GuSTO SCP MPC closed loop with EKF — the run_scp + run_gusto_solver
     recipe pair (examples/diamond/diamond.py:194-316) with the solver
     in-process. Saves {save_prefix}_sim.pkl."""
@@ -245,7 +245,20 @@ def run_scp(robot, save_dir: str, t_target, z_target, dt_solver=None, N=5,
     nx = model.state_dim
     dx_char = np.asarray(model.get_characteristic_dx(dt))
     Cf = robot.get_measurement_model()
-    observer = DiscreteEKFObserver(model, W=np.diag(dx_char + 1e-8),
+    # W = diag(dx_char) is the reference's process noise
+    # (examples/trunk/trunk.py:252-255). Measured offline against a recorded
+    # full-order trunk trajectory (pod_snapshots replay) it is also the best
+    # tuning: 0.30 mm tip-estimate RMSE and the lowest full-state error of
+    # every stable candidate, while scaling W down makes the filter nearly
+    # open-loop (1e-4 => 117 mm tip drift). The belief blow-ups previously
+    # blamed on this W were driven by out-of-regime plans (R=1e-5 bang-bang
+    # inputs collapsing the real plant); with the plan kept inside the
+    # model's validity envelope the reference W/V tracks. ekf_W_scale is
+    # kept as an explicit knob for experiments (it also scales Sigma0 so the
+    # first correction matches the steady-state gain).
+    W_ekf = float(ekf_W_scale) * np.diag(dx_char + 1e-8)
+    Sigma0 = None if ekf_W_scale == 1.0 else W_ekf
+    observer = DiscreteEKFObserver(model, W=W_ekf, Sigma0=Sigma0,
                                    V=0.1 * np.eye(Cf.shape[0]))
     controller = scp(model, cost, dt, N_replan=N_replan, observer=observer,
                      delay=delay, wait=True, solver_service=service, mpc=True,
@@ -262,7 +275,8 @@ def run_scp(robot, save_dir: str, t_target, z_target, dt_solver=None, N=5,
 
 def run_ilqr(robot, save_dir: str, t_target, z_target, Qz=None, R=None,
              Qf=None, sim_duration=6.0, delay=1.0, tf=None,
-             save_prefix="ilqr", observer=None, config=None, u_sat=None):
+             save_prefix="ilqr", observer=None, config=None, u_sat=None,
+             feedback_R=None):
     """iLQR trajectory optimization + closed-loop tracking (run_ilqr,
     examples/diamond/diamond.py:318-398). Qf defaults to zero like the
     reference's trajectory-tracking configs (trunk.py:374: cost.Qf =
@@ -278,7 +292,8 @@ def run_ilqr(robot, save_dir: str, t_target, z_target, Qz=None, R=None,
     cost = QuadraticCost(Q=Qz, R=R, Qf=np.zeros_like(Qz) if Qf is None else Qf)
     target = Target(t=t_target, z=np.asarray(z_target), Hf=Hf)
     controller = ilqr_ctrl(model, cost, target, dt=dt, observer=observer,
-                           delay=delay, tf=tf, config=config)
+                           delay=delay, tf=tf, config=config,
+                           feedback_R=feedback_R)
     return _run_and_save(robot, controller, sim_duration, save_dir,
                          save_prefix, u_sat=u_sat)
 
