@@ -74,12 +74,14 @@ class LinearMPCService:
         self._lock = threading.Lock()
 
         # Fused LTI one-shot (condensed backend): the dynamics are constant,
-        # so the replicated (A_d, B_d, d_d) live on device once and each
-        # solve ships only (x0, targets, warm start) up and (x, u) back —
-        # one dispatch instead of the adapter's per-solve parameter upload.
-        # Measured on the tunneled TPU this is the difference between
-        # ~330 ms and well under the reference's 300 ms replan budget
-        # (baselines/ros.py runs the same TR-off LOCP synchronously).
+        # so the replicated (A_d, B_d, d_d) live on device once; the TARGET
+        # trajectory also lives on device and the horizon window is
+        # interpolated inside the jit, so each solve ships ONE small upload
+        # (t0, x0) and ONE packed download ([x; u; stats]) over the tunnel
+        # instead of 4 uploads + 3 downloads. Measured on the tunneled TPU
+        # this is the difference between ~330 ms host-assembled / ~130 ms
+        # multi-transfer and well under 100 ms per replan (the reference
+        # solves the same TR-off LOCP synchronously, baselines/ros.py).
         self._fused = None
         if locp_backend == "condensed":
             import jax
@@ -100,8 +102,46 @@ class LinearMPCService:
             xk0 = jnp.zeros((N_ + 1, nx), sdt)
             one = jnp.asarray(1.0, sdt)
             skw = dict(self.locp.solver_kwargs)
+            has_Qzf = cost_params.Qf is not None
 
-            def _step(x0, z, zf, u_des, w0, y0):
+            # device-resident target (z over its full time grid); u-target
+            # rides along when present
+            tz_dev = z_dev = tu_dev = u_dev = None
+            if target.z is not None and np.asarray(target.z).ndim == 2:
+                tz_dev = jnp.asarray(np.asarray(target.t, float), sdt)
+                z_dev = jnp.asarray(np.asarray(target.z, float), sdt)
+            if target.u is not None and np.asarray(target.u).ndim == 2:
+                tu_dev = jnp.asarray(np.asarray(target.t, float), sdt)
+                u_dev = jnp.asarray(np.asarray(target.u, float), sdt)
+            z_const = (jnp.asarray(np.asarray(target.z, float), sdt)
+                       if target.z is not None
+                       and np.asarray(target.z).ndim == 1 else None)
+            u_const = (jnp.asarray(np.asarray(target.u, float), sdt)
+                       if target.u is not None
+                       and np.asarray(target.u).ndim == 1 else None)
+            dt_c = jnp.asarray(dt, sdt)
+
+            def _window(t0):
+                tq = t0 + dt_c * jnp.arange(N_ + 1, dtype=sdt)
+                if z_dev is not None:
+                    z = jax.vmap(lambda c: jnp.interp(tq, tz_dev, c),
+                                 in_axes=1, out_axes=1)(z_dev)
+                elif z_const is not None:
+                    z = jnp.tile(z_const, (N_ + 1, 1))
+                else:
+                    z = jnp.zeros((N_ + 1, nz), sdt)
+                if u_dev is not None:
+                    u = jax.vmap(lambda c: jnp.interp(tq[:-1], tu_dev, c),
+                                 in_axes=1, out_axes=1)(u_dev)
+                elif u_const is not None:
+                    u = jnp.tile(u_const, (N_, 1))
+                else:
+                    u = jnp.zeros((N_, nu), sdt)
+                zf = z[-1] if has_Qzf else jnp.zeros((nz,), sdt)
+                return z, zf, u
+
+            def _step(t0, x0, w0, y0):
+                z, zf, u_des = _window(t0)
                 params = CondensedParams(
                     Ad=Ad_c, Bd=Bd_c, dd=dd_c, x0=x0, z=z, u_des=u_des,
                     Hd=Hd0, cd=cd0, xk=xk0, delta=one, omega=one, zf=zf)
@@ -111,7 +151,10 @@ class LinearMPCService:
                 x_opt = spec.recover_x(xfree, G, sol.x)
                 stats = jnp.stack([sol.pri_res, sol.dua_res, sol.pri_sc,
                                    sol.dua_sc, sol.solved.astype(sdt)])
-                return x_opt, u_opt, sol.x, sol.y, stats
+                # one packed download; warm-start state stays on device
+                flat = jnp.concatenate([x_opt.reshape(-1), u_opt.reshape(-1),
+                                        stats])
+                return flat, sol.x, sol.y
 
             self._jnp = jnp
             self._warm = bool(warm_start)
@@ -122,8 +165,7 @@ class LinearMPCService:
             # pay the XLA compile (it lands in solve_times and the replan
             # budget otherwise)
             jax.block_until_ready(self._fused_fn(
-                jnp.zeros((nx,), sdt), jnp.zeros((N_ + 1, nz), sdt),
-                jnp.zeros((nz,), sdt), jnp.zeros((N_, nu), sdt),
+                jnp.zeros((), sdt), jnp.zeros((nx,), sdt),
                 self._w, self._y))
             self._fused = True
 
@@ -149,10 +191,10 @@ class LinearMPCService:
         return z, zf, u
 
     def _solve(self, t0, x0):
-        z, zf, u = self.get_target(t0)
         if self._fused:
-            self._solve_fused(t0, x0, z, zf, u)
+            self._solve_fused(t0, x0)
             return
+        z, zf, u = self.get_target(t0)
         xk = np.zeros((self.N + 1, self.locp.spec.n_x))
         self.locp.update(self.A_d, self.B_d, self.d_d, np.asarray(x0, float),
                          xk, 0.0, 0.0, z=z, zf=zf, u=u)
@@ -169,22 +211,22 @@ class LinearMPCService:
             self.t_solve = self.locp.solve_time
             self.topt = t0 + self.dt * np.arange(self.N + 1)
 
-    def _solve_fused(self, t0, x0, z, zf, u):
+    def _solve_fused(self, t0, x0):
         import time as _time
 
         jnp = self._jnp
         spec = self.locp.spec
         sdt = spec.dtype
+        N_, nx, nu = spec.N, spec.n_x, spec.n_u
         t_s = _time.time()
-        z_arr = np.zeros((self.N + 1, spec.n_z)) if z is None \
-            else np.asarray(z)
-        zf_arr = np.zeros(spec.n_z) if zf is None else np.asarray(zf)
-        u_arr = np.zeros((self.N, spec.n_u)) if u is None else np.asarray(u)
-        x_opt, u_opt, w, y, stats = self._fused_fn(
-            jnp.asarray(np.asarray(x0), sdt), jnp.asarray(z_arr, sdt),
-            jnp.asarray(zf_arr, sdt), jnp.asarray(u_arr, sdt),
+        flat, w, y = self._fused_fn(
+            jnp.asarray(t0, sdt), jnp.asarray(np.asarray(x0), sdt),
             self._w, self._y)
-        st = np.asarray(stats, float)
+        flat = np.asarray(flat, float)
+        nX = (N_ + 1) * nx
+        x_opt = flat[:nX].reshape(N_ + 1, nx)
+        u_opt = flat[nX:nX + N_ * nu].reshape(N_, nu)
+        st = flat[nX + N_ * nu:]
         if sdt == self._jnp.float32:
             acc_pri, acc_dua = 1e-3, 1e-2
         else:

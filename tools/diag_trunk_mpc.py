@@ -37,6 +37,13 @@ def main():
                     help="comma-separated node ids for the EKF measurement "
                     "(default: the robot's [51,22,37])")
     ap.add_argument("--R", type=float, default=1e-2)
+    ap.add_argument("--feedback", action="store_true",
+                    help="LQR feedback around the plan (per-TPWL-point DARE "
+                    "gains, tpwl/controllers.py:326-333 semantics)")
+    ap.add_argument("--feedback-R", type=float, default=None,
+                    help="tamer DARE R for the feedback gains (the iLQR leg "
+                    "tracks at 2.0 mm with feedback_R=1.0)")
+    ap.add_argument("--plan-bound", type=float, default=40.0)
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "examples", "trunk_tet"))
@@ -89,7 +96,7 @@ def main():
     service = GuSTOService(gmodel, 50, dt, Qz, R, x0, t=tt, z=z_solver,
                            U=U, max_gusto_iters=5, convg_thresh=1e-2,
                            locp_backend="condensed", dtype=jdtype,
-                           device_tr=True, plan_bound=40.0)
+                           device_tr=True, plan_bound=args.plan_bound)
     print(f"[{time.time()-t0c:6.1f}s] service built", flush=True)
 
     H = np.asarray(model.H)
@@ -108,7 +115,8 @@ def main():
             Sigma0=None if args.ekf_W_scale == 1.0 else W_ekf,
             V=args.ekf_V * np.eye(Cf.shape[0]))
     ctrl = scp(model, cost, dt, N_replan=2, observer=observer, delay=1.0,
-               wait=True, solver_service=service, mpc=True, feedback=False)
+               wait=True, solver_service=service, mpc=True,
+               feedback=args.feedback, feedback_R=args.feedback_R)
     ctrl.set_sim_timestep(dt)
 
     plant = robot.plant
