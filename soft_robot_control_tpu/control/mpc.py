@@ -68,8 +68,11 @@ class scp(TemplateController):
                 dareb = jax.vmap(lambda A, B, d: self.dyn_sys.discretize_dynamics(A, B, d, dt)[:2])
                 A_d, B_d = dareb(dyn_sys.A_c, dyn_sys.B_c, dyn_sys.d_c)
             Q = jnp.asarray(cost.Q, A_d.dtype)
-            R = jnp.asarray(cost.R if feedback_R is None else feedback_R,
-                            A_d.dtype)
+            R_fb = cost.R if feedback_R is None else feedback_R
+            R_fb = np.asarray(R_fb, float)
+            if R_fb.ndim == 0:     # scalar knob => R * I
+                R_fb = float(R_fb) * np.eye(np.asarray(cost.R).shape[0])
+            R = jnp.asarray(R_fb, A_d.dtype)
             K, _ = jax.vmap(lambda a, b: dare(a, b, Q, R))(A_d, B_d)
             self.K = np.asarray(K)
 
