@@ -90,6 +90,17 @@ def main():
                     "path mis-solves in-loop dU QPs — construction solves "
                     "are fine but warm-started belief-x0 solves 'converge' "
                     "40-240 mm off target; see tests/test_gusto_jit.py)")
+    ap.add_argument("--mpc-feedback-R", type=float, default=1.0,
+                    help="LQR feedback around the GuSTO plan, with per-TPWL-"
+                    "point DARE gains computed at this R instead of the MPC "
+                    "R (the reference's scp controller keeps feedback ON, "
+                    "tpwl/controllers.py:239-246, but builds gains from the "
+                    "MPC cost; at R=1e-2..1e-5 those gains amplify the "
+                    "trunk's ~16%% ROM error into cable saturation — R=1.0 "
+                    "is the same moderate-gain choice that makes the iLQR "
+                    "leg fly at 2 mm). 0 disables feedback (round-4 "
+                    "configuration: pure feedforward + replan; 60 mm RMSE "
+                    "because rejected plans replay open-loop)")
     ap.add_argument("--ilqr-feedback-R", type=float, default=None,
                     help="decouple the iLQR EXECUTION feedback gains from "
                     "the planning R: gains recomputed along the converged "
@@ -161,7 +172,9 @@ def main():
         "collect": ["rom_dim", "tpwl_points", "heldout_rel_err",
                     "heldout_traj_rel_err", "collect_platform"],
         "mpc": ["scp_rmse_mm", "scp_solve_ms_mean", "scp_plan_rejects",
-                "mpc_platform", "mpc_R", "mpc_dU"],
+                "mpc_platform", "mpc_R", "mpc_dU", "mpc_feedback_R",
+                "mpc_replan_budget_ms", "scp_reject_reasons",
+                "scp_tip_span_mm"],
         "ilqr": ["ilqr_rmse_mm", "ilqr_platform", "ilqr_feedback_R"],
     }
     for stage, skip in (("collect", args.skip_collect),
@@ -259,18 +272,25 @@ def main():
         # on a 195 mm trunk (round-3 regression). plan_bound stays as a
         # belt-and-braces reject (40 mm envelope around the +-10/12.5 mm
         # figure-8 target).
-        # feedback=False: the aggressive MPC cost (R=1e-5) makes DARE gains
-        # ~sqrt(Q/R) huge, and ROM model error (held-out rel ~0.16-0.25 on
-        # the trunk) through them saturates all 8 cables; at N_replan=2 the
-        # replanning loop itself is the feedback, like the reference's SSM
-        # controller (SSM/controllers.py:140-250)
+        # feedback at moderate gains (--mpc-feedback-R, default 1.0): the
+        # reference's scp controller closes LQR feedback around the plan
+        # (tpwl/controllers.py:326-333); building those DARE gains from the
+        # MPC cost itself (R<=1e-2) amplifies the trunk's ~16% ROM error
+        # into cable saturation, and pure feedforward (round 4) flies the
+        # stale plan open-loop whenever a solve is rejected. Gains at R=1.0
+        # — the iLQR leg's working execution config — keep the plant ON the
+        # plan between replans, which also keeps the EKF belief inside the
+        # solver's validity regime (rejects drop from 246/500 to ~0).
+        fbR = args.mpc_feedback_R
         sim = recipes.run_scp(robot, d, tt, z_target, dt_solver=robot.dt,
                               N=args.solver_N, N_replan=2, Qz=Qz, R=R,
                               sim_duration=args.sim_duration, delay=1.0,
                               U=U, dU=dU, save_prefix="scp_fig8",
                               locp_backend="condensed", dtype=jdtype,
                               device_tr=True, plan_bound=40.0,
-                              u_sat=args.u_bound, feedback=False)
+                              u_sat=args.u_bound,
+                              feedback=fbR > 0,
+                              feedback_R=fbR if fbR > 0 else None)
         z = np.asarray(sim["z"])
         t = np.asarray(sim["t"])
         # score vs z_target(t - delay): the controller plan clock starts at
@@ -286,8 +306,20 @@ def main():
         summary["mpc_platform"] = dtype
         summary["scp_plan_rejects"] = int(sim.get("info", {}).get(
             "plan_rejects", 0))
+        rej = sim.get("info", {}).get("reject_log", [])
+        summary["scp_reject_reasons"] = {
+            r: sum(1 for e in rej if e.get("reason") == r)
+            for r in {e.get("reason") for e in rej}}
         summary["mpc_R"] = args.mpc_R
         summary["mpc_dU"] = args.mpc_dU
+        summary["mpc_feedback_R"] = args.mpc_feedback_R
+        # the flown replan cadence: the budget a real-time deployment of
+        # THIS configuration would have to meet (N_replan * dt)
+        summary["mpc_replan_budget_ms"] = 2 * robot.dt * 1e3
+        # tip excursion envelope over the active window, all axes (the
+        # round-4 blow-up metric: 258/230/348 mm on a 195 mm robot)
+        summary["scp_tip_span_mm"] = [
+            float(np.ptp(z[act][:, j])) for j in range(3)]
         st = np.asarray(sim.get("info", {}).get("solve_times", []))
         if st.size:
             summary["scp_solve_ms_mean"] = float(st.mean() * 1e3)
@@ -328,16 +360,24 @@ def main():
     print(f"[{time.time()-t0:6.1f}s] saved trunk_tpwl_campaign.json",
           flush=True)
 
-    # fail loudly if this run regressed its own committed quality gates
-    # (round-3 lesson: never persist campaign artifacts without running them)
-    import subprocess
-    rc = subprocess.call([sys.executable, "-m", "pytest", "-q",
-                          os.path.join(os.path.dirname(os.path.dirname(
-                              os.path.abspath(__file__))), "tests",
-                              "test_trunk_campaign_artifacts.py")],
-                         env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    # fail loudly if this run regressed its own committed quality gates, and
+    # QUARANTINE the failing artifacts so a snapshot commit cannot sweep
+    # them in (round-4 lesson: the gate script existed and red artifacts
+    # were committed anyway)
+    from soft_robot_control_tpu.utils.gatekeeper import enforce_gates
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    arts = [summary_path]
+    if not args.skip_mpc:
+        arts.append(os.path.join(d, "scp_fig8_sim.pkl"))
+    if not args.skip_ilqr:
+        arts.append(os.path.join(d, "ilqr_fig8_sim.pkl"))
+    if not args.skip_collect:
+        arts += [os.path.join(d, "pod_model.pkl"),
+                 os.path.join(d, "tpwl_model_snapshots.pkl")]
+    rc = enforce_gates([os.path.join(repo, "tests",
+                                     "test_trunk_campaign_artifacts.py")],
+                       arts, d)
     if rc != 0:
-        print("ARTIFACT GATES FAILED — do not commit this run", flush=True)
         sys.exit(rc)
 
 

@@ -215,6 +215,9 @@ class GuSTO:
         self.locp_solve_time = None
         self.itr_count = 0
         self.plan_rejects = 0
+        # per-reject diagnostics: why each plan was dropped (excursion vs
+        # residual vs non-finite), for campaign-level instrumentation
+        self.reject_log = []
 
         # Real-time one-shot path: with max_gusto_iters=0, the condensed
         # backend and no trust region (the reference's real-time MPC mode,
@@ -378,17 +381,21 @@ class GuSTO:
         return jax.jit(step)
 
     def _plan_excursion(self, z_opt, z_arr):
-        """Max deviation of the PLANNED output from the horizon target.
+        """Max deviation of the planned output TAIL from the horizon target.
 
-        Only the COST-WEIGHTED output axes count: an axis with zero
-        tracking weight (trunk Qz = diag(100,100,0), reference
-        trunk.py:307) is free to the solver by construction, and the
-        linear model's large excursions there would veto every plan the
-        cost wants — deadlocking the loop on its initial plan (observed:
-        constant ~336 mm z-axis "excursions" rejecting 100% of trunk
-        solves)."""
-        wz = np.diag(np.asarray(self.Qz)) > 0
-        diff = np.abs(np.asarray(z_opt, float) - np.asarray(z_arr))[:, wz]
+        Measured on ALL output axes over the tail half of the horizon. A
+        correct MPC plan may START far from the target — x0 is wherever the
+        plant actually is — but must CONVERGE toward it, so the initial
+        transient is exempt and only the tail is policed. Rejecting plans by
+        their whole-horizon excursion vetoed exactly the recovery plans a
+        perturbed belief needs, and the loop then replayed stale plans
+        open-loop (round-4 trunk: 246/500 rejects, 60 mm RMSE). Unweighted
+        axes count too: the round-4 blow-up was on the trunk's Qz=0 z axis,
+        which a weighted-only guard cannot see. A plan whose tail stays
+        inside the bound on every axis is by construction not the
+        model-extrapolation runaway this guard exists to stop."""
+        z_o = np.asarray(z_opt, float)
+        diff = np.abs(z_o - np.asarray(z_arr))[z_o.shape[0] // 2:]
         return float(np.max(diff)) if diff.size else 0.0
 
     def _solve_device_tr(self, x0, u_init, x_init, z, u):
@@ -409,13 +416,20 @@ class GuSTO:
         x_opt = np.asarray(res.x, float)
         u_opt = np.asarray(res.u, float)
         success = bool(np.isfinite(x_opt).all() and np.isfinite(u_opt).all())
+        if not success:
+            self.reject_log.append({"reason": "nonfinite",
+                                    "iters": int(res.iters)})
         z_opt = self._z_of(x_opt) if success else None
         if success and self._plan_bound is not None:
             exc = self._plan_excursion(z_opt, z_arr)
             if not np.isfinite(exc) or exc > self._plan_bound:
-                print(f"device-TR plan rejected (excursion {exc:.1f} > "
+                print(f"device-TR plan rejected (tail excursion {exc:.1f} > "
                       f"{self._plan_bound:.1f}, iters {int(res.iters)}, "
                       f"converged {bool(res.converged)})")
+                self.reject_log.append({
+                    "reason": "excursion", "excursion": float(exc),
+                    "iters": int(res.iters),
+                    "converged": bool(res.converged)})
                 success = False
         if success:
             self.xopt = x_opt
@@ -459,8 +473,10 @@ class GuSTO:
         if success and self._plan_bound is not None:
             exc = self._plan_excursion(z_opt, z_arr)
             if not np.isfinite(exc) or exc > self._plan_bound:
-                print(f"one-shot plan rejected (excursion {exc:.1f} > "
+                print(f"one-shot plan rejected (tail excursion {exc:.1f} > "
                       f"{self._plan_bound:.1f})")
+                self.reject_log.append({
+                    "reason": "excursion", "excursion": float(exc)})
                 success = False
         if success:
             self.xopt = np.asarray(x_opt, float)
@@ -476,6 +492,10 @@ class GuSTO:
             print("one-shot LOCP not accepted "
                   f"(pri_rel {pri_rel:.2e}, dua_rel {dua_rel:.2e}, "
                   f"rho_k {st[6]:.2e})")
+            if not bool(any_ok):  # excursion rejects logged above
+                self.reject_log.append({
+                    "reason": "residual", "pri_rel": float(pri_rel),
+                    "dua_rel": float(dua_rel), "rho_k": float(st[6])})
             self.plan_rejects += 1
             self.xopt = np.asarray(x_init, float)
             self.uopt = np.asarray(u_init, float)

@@ -269,6 +269,8 @@ def run_scp(robot, save_dir: str, t_target, z_target, dt_solver=None, N=5,
     if "info" in sim:
         sim["info"]["plan_rejects"] = int(getattr(service.gusto,
                                                   "plan_rejects", 0))
+        sim["info"]["reject_log"] = list(getattr(service.gusto,
+                                                 "reject_log", []))
         save_data(os.path.join(save_dir, f"{save_prefix}_sim.pkl"), sim)
     return sim
 

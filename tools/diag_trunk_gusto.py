@@ -18,12 +18,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ap = argparse.ArgumentParser()
 ap.add_argument("--f64", action="store_true")
 ap.add_argument("--queries", type=int, default=12)
-ap.add_argument("--device-tr", action="store_true", default=True)
 ap.add_argument("--host-tr", action="store_true",
-                help="use the host TR loop instead of device_tr")
-ap.add_argument("--rollout", action="store_true",
-                help="roll the ROM forward with the accepted plans (ideal "
-                "plant = model) instead of teleporting along the target")
+                help="use the host TR loop instead of the default device_tr")
+ap.add_argument("--perturb", type=float, default=0.0,
+                help="scale of a random belief perturbation added to each "
+                "query state (units of the model's characteristic dx) — "
+                "emulates EKF/model mismatch in the real closed loop")
 args = ap.parse_args()
 
 import jax
@@ -84,7 +84,8 @@ print(f"[{time.time()-t0:.1f}s] constructed; construction solve: "
 
 def excursion(z_opt, z_arr):
     w = np.diag(Qz) > 0
-    return float(np.max(np.abs(np.asarray(z_opt, float) - z_arr)[:, w]))
+    d = np.abs(np.asarray(z_opt, float) - z_arr)
+    return float(np.max(d[:, w])), np.max(d, axis=0)
 
 
 # emulate the MPC loop via the service (target interp + warm-start shift are
@@ -92,18 +93,24 @@ def excursion(z_opt, z_arr):
 # reached by rolling the previous accepted plan (ideal plant == model)
 dt_replan = 2 * dt   # N_replan=2
 
+rng = np.random.default_rng(0)
+dx_char = np.asarray(model.get_characteristic_dx(dt), float)
 xq = x0
 for k in range(args.queries):
     t_k = k * dt_replan
     zq, _, _ = service.get_target(t_k)
     rej0 = g.plan_rejects
     ts = time.time()
+    if args.perturb > 0:
+        xq = xq + args.perturb * dx_char * rng.standard_normal(xq.shape)
     service.send_request(t_k, xq, wait=True)
     el = (time.time() - ts) * 1e3
-    exc = excursion(g.zopt, zq)
+    exc, per_axis = excursion(g.zopt, zq)
     rejected = g.plan_rejects > rej0
-    print(f"q{k:02d} t={t_k:5.2f} exc={exc:7.2f} mm iters={g.itr_count:3d} "
-          f"rejected={rejected} solve={el:7.1f} ms", flush=True)
+    print(f"q{k:02d} t={t_k:5.2f} exc={exc:7.2f} mm "
+          f"per-axis=[{per_axis[0]:6.2f} {per_axis[1]:6.2f} {per_axis[2]:6.2f}] "
+          f"iters={g.itr_count:3d} rejected={rejected} solve={el:7.1f} ms",
+          flush=True)
     # ideal plant: next belief = plan state at +2 steps
     xq = np.asarray(service.xopt[2])
 print("total rejects:", g.plan_rejects)
