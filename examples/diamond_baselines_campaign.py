@@ -157,16 +157,18 @@ def main():
         json.dump(results, f, indent=1)
     print(f"[{time.time()-t0:6.1f}s] saved diamond_baselines.json", flush=True)
 
-    # fail loudly if this run regressed the committed artifact gates
-    import subprocess
-    rc = subprocess.call([sys.executable, "-m", "pytest", "-q",
-                          "-k", "baselines",
-                          os.path.join(os.path.dirname(os.path.dirname(
-                              os.path.abspath(__file__))), "tests",
-                              "test_campaign_artifacts.py")],
-                         env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    # gate + quarantine (utils/gatekeeper.py)
+    from soft_robot_control_tpu.utils.gatekeeper import enforce_gates
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    arts = [os.path.join(d, "diamond_baselines.json")]
+    for prefix, skip in (("rompc", args.skip_rompc),
+                         ("koopman", args.skip_koopman)):
+        if not skip:
+            arts.append(os.path.join(d, f"{prefix}_sim.pkl"))
+    rc = enforce_gates([os.path.join(repo, "tests",
+                                     "test_campaign_artifacts.py")],
+                       arts, d, k="baselines")
     if rc != 0:
-        print("ARTIFACT GATES FAILED — do not commit this run", flush=True)
         sys.exit(rc)
 
 

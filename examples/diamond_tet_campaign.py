@@ -110,7 +110,7 @@ def main():
         "collect": ["rom_dim", "tpwl_points", "heldout_rel_err",
                     "collect_platform"],
         "mpc": ["scp_rmse_mm", "scp_rmse_unshifted_mm", "scp_solve_ms_mean",
-                "scp_plan_rejects", "mpc_platform"],
+                "scp_plan_rejects", "mpc_platform", "mpc_replan_budget_ms"],
     }
     for stage, skip in (("collect", args.skip_collect),
                         ("mpc", args.skip_mpc)):
@@ -220,19 +220,30 @@ def main():
               f"max {st.max()*1e3:.2f} ms", flush=True)
         summary["scp_solve_ms_mean"] = float(st.mean() * 1e3)
     summary["scp_plan_rejects"] = int(info.get("plan_rejects", 0))
+    # the flown replan cadence (N_replan * dt): the budget a real-time
+    # deployment of THIS configuration would have to meet. The sim pauses
+    # the world during solves, so solve_ms_mean above is gated against the
+    # reference's 300 ms workstation budget, not this number — see
+    # tests/test_campaign_artifacts.py.
+    summary["mpc_replan_budget_ms"] = 2 * robot.dt * 1e3
     _persist()
     print(f"[{time.time()-t0:6.1f}s] saved diamond_tpwl_campaign.json",
           flush=True)
 
-    # fail loudly if this run regressed its committed quality gates
-    import subprocess
-    rc = subprocess.call([sys.executable, "-m", "pytest", "-q",
-                          os.path.join(os.path.dirname(os.path.dirname(
-                              os.path.abspath(__file__))), "tests",
-                              "test_campaign_artifacts.py")],
-                         env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    # gate + quarantine: failing artifacts must not stay where a snapshot
+    # commit can sweep them in (utils/gatekeeper.py)
+    from soft_robot_control_tpu.utils.gatekeeper import enforce_gates
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    arts = [summary_path]
+    if not args.skip_mpc:
+        arts.append(os.path.join(d, "scp_fig8_sim.pkl"))
+    if not args.skip_collect:
+        arts += [os.path.join(d, "pod_model.pkl"),
+                 os.path.join(d, "tpwl_model_snapshots.pkl")]
+    rc = enforce_gates([os.path.join(repo, "tests",
+                                     "test_campaign_artifacts.py")],
+                       arts, d)
     if rc != 0:
-        print("ARTIFACT GATES FAILED — do not commit this run", flush=True)
         sys.exit(rc)
 
 

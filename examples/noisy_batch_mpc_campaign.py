@@ -104,14 +104,12 @@ def main():
         json.dump(results, f, indent=1)
     print(f"[{time.time()-t0:6.1f}s] saved {out}", flush=True)
 
-    import subprocess
-    rc = subprocess.call([sys.executable, "-m", "pytest", "-q",
-                          os.path.join(os.path.dirname(os.path.dirname(
-                              os.path.abspath(__file__))), "tests",
-                              "test_campaign_artifacts.py")],
-                         env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    from soft_robot_control_tpu.utils.gatekeeper import enforce_gates
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rc = enforce_gates([os.path.join(repo, "tests",
+                                     "test_campaign_artifacts.py")],
+                       [out], os.path.dirname(out))
     if rc != 0:
-        print("ARTIFACT GATES FAILED — do not commit this run", flush=True)
         sys.exit(rc)
 
 

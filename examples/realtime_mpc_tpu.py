@@ -22,6 +22,15 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--hz", type=float, default=50.0)
     p.add_argument("--seconds", type=float, default=5.0)
+    p.add_argument("--campaign", choices=["diamond"], default=None,
+                   help="run on the committed full-scale campaign ROM "
+                   "(examples/diamond_tet TPWL dictionary, P>=1000, r=30) "
+                   "at its native dt=0.01 and the flown N_replan=2 cadence "
+                   "instead of the synthetic demo model")
+    p.add_argument("--json", default=None,
+                   help="persist the measured latency summary to this path "
+                   "(campaign artifact, gated by "
+                   "tests/test_campaign_artifacts.py)")
     args = p.parse_args()
 
     import jax
@@ -35,16 +44,45 @@ def main():
     from soft_robot_control_tpu.tasks.demo import demo_targets, make_demo_tpwl
 
     dtype = jnp.float32
-    model = make_demo_tpwl(r=21, P=64, m=4, nz=6, nf=64, dtype=np.float32)
-    dt = 1.0 / args.hz
-    mpc = BatchMPC(model, 100.0 * np.eye(6), 1e-3 * np.eye(4), N=5, dt=dt,
-                   N_replan=1, qp_iters=50, use_pallas=True, dtype=dtype,
-                   W=1e-2 * np.eye(model.state_dim),
-                   V=1e-4 * np.eye(model.C.shape[0]))
+    n_replan = 1
+    if args.campaign == "diamond":
+        # the committed physics-campaign ROM + the campaign's flown MPC
+        # configuration (examples/diamond_tet_campaign.py: N_replan=2 at
+        # dt=0.01 -> one 20 ms window per controller dispatch)
+        from soft_robot_control_tpu.models.tpwl import from_tpwl_dict
+        from soft_robot_control_tpu.sim.measurement import linearModel
+
+        art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "diamond_tet", "tpwl_model_snapshots.pkl")
+        Hf = linearModel([1354], 1628, vel=False).C_dense()
+        model = from_tpwl_dict(
+            art, params={"dist_weights": {"q": 10.0, "v": 1.0}}, Hf=Hf,
+            discr_method="be")
+        Cf = linearModel([1354, 726, 139, 1445, 729], 1628).C_dense()
+        model = model.set_measurement_model(Cf)
+        dt = model.pre_discretized_dt       # 0.01, discrete-native
+        n_replan = 2
+        args.hz = 1.0 / (n_replan * dt)     # 50 windows/s
+        nz, nu = np.asarray(model.H).shape[0], model.input_dim
+        from soft_robot_control_tpu.core.constraints import HyperRectangle
+        mpc = BatchMPC(model, 100.0 * np.eye(nz), 1e-3 * np.eye(nu), N=4,
+                       dt=dt, N_replan=n_replan, qp_iters=50,
+                       formulation="condensed", x_step="kinv",
+                       use_pallas=True, dtype=dtype,
+                       U=HyperRectangle(1500.0 * np.ones(nu), np.zeros(nu)),
+                       W=1e-2 * np.eye(model.state_dim),
+                       V=1e-4 * np.eye(np.asarray(model.C).shape[0]))
+    else:
+        model = make_demo_tpwl(r=21, P=64, m=4, nz=6, nf=64, dtype=np.float32)
+        dt = 1.0 / args.hz
+        mpc = BatchMPC(model, 100.0 * np.eye(6), 1e-3 * np.eye(4), N=5, dt=dt,
+                       N_replan=1, qp_iters=50, use_pallas=True, dtype=dtype,
+                       W=1e-2 * np.eye(model.state_dim),
+                       V=1e-4 * np.eye(model.C.shape[0]))
     step = jax.jit(mpc.build(1))
 
     n_steps = int(args.seconds * args.hz)
-    zt = demo_targets(model, 1, 1, 5, dt, batch=1)[0]
+    zt = demo_targets(model, 1, 1, mpc.N + n_replan, dt, batch=1)[0]
     x0 = jnp.zeros(model.state_dim, dtype)
     key = jax.random.PRNGKey(0)
     # warm up / compile

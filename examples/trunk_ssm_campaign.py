@@ -304,14 +304,15 @@ def main():
         json.dump(res, f, indent=1)
     print(f"[{time.time()-t0:6.1f}s] saved trunk_ssm_mpc.json", flush=True)
 
-    import subprocess
-    rc = subprocess.call([sys.executable, "-m", "pytest", "-q",
-                          os.path.join(os.path.dirname(os.path.dirname(
-                              os.path.abspath(__file__))), "tests",
-                              "test_trunk_campaign_artifacts.py")],
-                         env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    # gate + quarantine: failing artifacts must not stay where a snapshot
+    # commit can sweep them in (utils/gatekeeper.py)
+    from soft_robot_control_tpu.utils.gatekeeper import enforce_gates
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rc = enforce_gates(
+        [os.path.join(repo, "tests", "test_trunk_campaign_artifacts.py")],
+        [os.path.join(args.out, "trunk_ssm_mpc.json"),
+         os.path.join(args.out, "ssm_mpc_sim.pkl")], args.out)
     if rc != 0:
-        print("ARTIFACT GATES FAILED — do not commit this run", flush=True)
         sys.exit(rc)
 
 

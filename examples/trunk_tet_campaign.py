@@ -85,11 +85,18 @@ def main():
     ap.add_argument("--mpc-dU", type=float, default=0.0,
                     help="per-step input rate bound |u_k+1 - u_k| (mN); the "
                     "reference LOCP supports the same dU polytope "
-                    "(scp/locp.py:296-302). 0 disables (default: R=1e-2 "
-                    "alone keeps inputs smooth, and the device-TR condensed "
-                    "path mis-solves in-loop dU QPs — construction solves "
-                    "are fine but warm-started belief-x0 solves 'converge' "
-                    "40-240 mm off target; see tests/test_gusto_jit.py)")
+                    "(scp/locp.py:296-302). 0 disables — matching the "
+                    "reference trunk example, which runs without dU "
+                    "(trunk.py:213-325). The round-4 in-loop dU mis-solve "
+                    "no longer reproduces (tools/diag_trunk_gusto.py --dU "
+                    "25 --perturb 0.5: 0/40 rejects, bounded excursions on "
+                    "CPU-f32 AND TPU); pinned by "
+                    "test_gusto_jit_condensed_dU_warm_belief")
+    ap.add_argument("--dU-leg", type=float, default=0.0,
+                    help="run an EXTRA MPC leg with this input slew bound "
+                    "(mN) under scp_fig8_dU_* and record it in the JSON's "
+                    "dU_leg block (the flagship leg stays dU=0, matching "
+                    "the reference)")
     ap.add_argument("--mpc-feedback-R", type=float, default=1.0,
                     help="LQR feedback around the GuSTO plan, with per-TPWL-"
                     "point DARE gains computed at this R instead of the MPC "
@@ -182,6 +189,8 @@ def main():
         if not skip:
             for k in stage_fields[stage]:
                 summary.pop(k, None)
+    if args.dU_leg > 0:
+        summary.pop("dU_leg", None)
 
     if not args.skip_collect:
         if not args.skip_pod:
@@ -324,6 +333,43 @@ def main():
         if st.size:
             summary["scp_solve_ms_mean"] = float(st.mean() * 1e3)
 
+    if args.dU_leg > 0:
+        # dU demonstration leg: same closed loop with the input slew
+        # polytope active (|u_{k+1}-u_k| <= dU mN). The reference trunk
+        # example flies without dU; this leg evidences that the device-TR
+        # condensed path solves in-loop dU QPs correctly (round-4 note
+        # retired; regression: test_gusto_jit_condensed_dU_warm_belief).
+        dU2 = HyperRectangle(args.dU_leg * np.ones(8),
+                             -args.dU_leg * np.ones(8))
+        fbR = args.mpc_feedback_R
+        sim2 = recipes.run_scp(robot, d, tt, z_target, dt_solver=robot.dt,
+                               N=args.solver_N, N_replan=2, Qz=Qz, R=R,
+                               sim_duration=args.sim_duration, delay=1.0,
+                               U=U, dU=dU2, save_prefix="scp_fig8_dU",
+                               locp_backend="condensed", dtype=jdtype,
+                               device_tr=True, plan_bound=40.0,
+                               u_sat=args.u_bound, feedback=fbR > 0,
+                               feedback_R=fbR if fbR > 0 else None)
+        z2 = np.asarray(sim2["z"])
+        t2 = np.asarray(sim2["t"])
+        zt2 = np.stack([np.interp(t2 - 1.0, tt, z_target[:, j])
+                        for j in range(3)], axis=1)
+        act2 = t2 >= 1.0
+        rmse2 = float(np.sqrt(np.mean(np.sum(
+            (z2[act2][:, :2] - zt2[act2][:, :2]) ** 2, axis=1))))
+        u2 = np.asarray(sim2["u"])
+        st2 = np.asarray(sim2.get("info", {}).get("solve_times", []))
+        summary["dU_leg"] = {
+            "dU_mN": float(args.dU_leg),
+            "scp_rmse_mm": rmse2,
+            "plan_rejects": int(sim2.get("info", {}).get("plan_rejects", 0)),
+            "applied_du_max_mN": float(np.abs(np.diff(u2, axis=0)).max()),
+            "solve_ms_mean": (float(st2.mean() * 1e3) if st2.size else None),
+        }
+        print(f"[{time.time()-t0:6.1f}s] GuSTO MPC dU-leg (dU={args.dU_leg} "
+              f"mN): RMSE {rmse2:.3f} mm, rejects "
+              f"{summary['dU_leg']['plan_rejects']}", flush=True)
+
     if not args.skip_ilqr:
         # BASELINE config 2: Trunk iLQR on the TPWL ROM (trunk.py:327-380)
         # u_sat bounds the applied command at the dictionary's training
@@ -369,6 +415,8 @@ def main():
     arts = [summary_path]
     if not args.skip_mpc:
         arts.append(os.path.join(d, "scp_fig8_sim.pkl"))
+    if args.dU_leg > 0:
+        arts.append(os.path.join(d, "scp_fig8_dU_sim.pkl"))
     if not args.skip_ilqr:
         arts.append(os.path.join(d, "ilqr_fig8_sim.pkl"))
     if not args.skip_collect:

@@ -26,14 +26,20 @@ def _interp_rows_fill(tq, t, Y):
 
 
 class LinearMPCService:
-    """Persistent linear MPC solver with the ROS-node semantics."""
+    """Persistent linear MPC solver with the ROS-node semantics.
+
+    With the condensed backend the target trajectory is SNAPSHOTTED onto
+    the device at construction (and again on `service.target = new_target`
+    reassignment — which recompiles the fused step). Mutating the target
+    object in place mid-run is not observed by the fused path; reassign it.
+    """
 
     def __init__(self, model, N, dt, cost_params, target, U=None, X=None,
                  Xf=None, dU=None, verbose=0, warm_start=True, **kwargs):
         self.model = model
         self.N = N
         self.dt = dt
-        self.target = target
+        self._target = target
         self.cost_params = cost_params
         self.verbose = verbose
 
@@ -83,35 +89,68 @@ class LinearMPCService:
         # multi-transfer and well under 100 ms per replan (the reference
         # solves the same TR-off LOCP synchronously, baselines/ros.py).
         self._fused = None
-        if locp_backend == "condensed":
-            import jax
-            import jax.numpy as jnp
+        self._warm = bool(warm_start)
+        self._fused_backend = locp_backend == "condensed"
+        if self._fused_backend:
+            self._setup_fused()
 
-            from soft_robot_control_tpu.qp.admm import solve_qp_dense
-            from soft_robot_control_tpu.scp.locp_condensed import (
-                CondensedParams)
+    @property
+    def target(self):
+        return self._target
 
-            spec = self.locp.spec
-            sdt = spec.dtype
-            N_, nx, nz, nu = spec.N, spec.n_x, spec.n_z, spec.n_u
-            Ad_c = jnp.asarray(self.A_d, sdt)
-            Bd_c = jnp.asarray(self.B_d, sdt)
-            dd_c = jnp.asarray(self.d_d, sdt)
-            Hd0 = jnp.zeros((N_ + 1, nz, nx), sdt)
-            cd0 = jnp.zeros((N_ + 1, nz), sdt)
-            xk0 = jnp.zeros((N_ + 1, nx), sdt)
-            one = jnp.asarray(1.0, sdt)
-            skw = dict(self.locp.solver_kwargs)
-            has_Qzf = cost_params.Qf is not None
+    @target.setter
+    def target(self, new_target):
+        """Reassigning the target mid-run rebuilds the fused path's device
+        snapshot (ADVICE r4: the dense backend reads self.target live, the
+        fused one captured construction-time arrays)."""
+        self._target = new_target
+        if self._fused_backend:
+            self._setup_fused()
 
-            # device-resident target (z over its full time grid); u-target
-            # rides along when present
+    def _setup_fused(self):
+        """(Re)build the fused device-resident one-shot step from the
+        CURRENT self._target. Called at construction and on target
+        reassignment (recompiles; the target arrays are closure constants
+        so XLA can fold/lay them out)."""
+        import jax
+        import jax.numpy as jnp
+
+        from soft_robot_control_tpu.qp.admm import solve_qp_dense
+        from soft_robot_control_tpu.scp.locp_condensed import (
+            CondensedParams)
+
+        target = self._target
+        cost_params = self.cost_params
+        dt = self.dt
+        spec = self.locp.spec
+        sdt = spec.dtype
+        N_, nx, nz, nu = spec.N, spec.n_x, spec.n_z, spec.n_u
+        Ad_c = jnp.asarray(self.A_d, sdt)
+        Bd_c = jnp.asarray(self.B_d, sdt)
+        dd_c = jnp.asarray(self.d_d, sdt)
+        Hd0 = jnp.zeros((N_ + 1, nz, nx), sdt)
+        cd0 = jnp.zeros((N_ + 1, nz), sdt)
+        xk0 = jnp.zeros((N_ + 1, nx), sdt)
+        one = jnp.asarray(1.0, sdt)
+        skw = dict(self.locp.solver_kwargs)
+        has_Qzf = cost_params.Qf is not None
+
+        # device-resident target (z over its full time grid); u-target
+        # rides along when present. Times are OFFSET by target.t[0] in f64
+        # on host before the f32 cast so a long absolute time axis doesn't
+        # quantize the interpolation knots (f32 keeps ~1e-7 relative
+        # resolution near 0 instead of near t[0]+T).
+        self._t_off = (float(np.asarray(target.t).reshape(-1)[0])
+                       if getattr(target, "t", None) is not None else 0.0)
+        if True:
             tz_dev = z_dev = tu_dev = u_dev = None
             if target.z is not None and np.asarray(target.z).ndim == 2:
-                tz_dev = jnp.asarray(np.asarray(target.t, float), sdt)
+                tz_dev = jnp.asarray(
+                    np.asarray(target.t, float) - self._t_off, sdt)
                 z_dev = jnp.asarray(np.asarray(target.z, float), sdt)
             if target.u is not None and np.asarray(target.u).ndim == 2:
-                tu_dev = jnp.asarray(np.asarray(target.t, float), sdt)
+                tu_dev = jnp.asarray(
+                    np.asarray(target.t, float) - self._t_off, sdt)
                 u_dev = jnp.asarray(np.asarray(target.u, float), sdt)
             z_const = (jnp.asarray(np.asarray(target.z, float), sdt)
                        if target.z is not None
@@ -157,7 +196,6 @@ class LinearMPCService:
                 return flat, sol.x, sol.y
 
             self._jnp = jnp
-            self._warm = bool(warm_start)
             self._fused_fn = jax.jit(_step)
             self._w = jnp.zeros((spec.n_var,), sdt)
             self._y = jnp.zeros((spec.n_con,), sdt)
@@ -219,8 +257,11 @@ class LinearMPCService:
         sdt = spec.dtype
         N_, nx, nu = spec.N, spec.n_x, spec.n_u
         t_s = _time.time()
+        # offset in host float64 BEFORE the solver-dtype cast (see
+        # _setup_fused: the device time grid is target.t - t_off)
         flat, w, y = self._fused_fn(
-            jnp.asarray(t0, sdt), jnp.asarray(np.asarray(x0), sdt),
+            jnp.asarray(float(t0) - self._t_off, sdt),
+            jnp.asarray(np.asarray(x0), sdt),
             self._w, self._y)
         flat = np.asarray(flat, float)
         nX = (N_ + 1) * nx

@@ -70,8 +70,9 @@ class scp(TemplateController):
             Q = jnp.asarray(cost.Q, A_d.dtype)
             R_fb = cost.R if feedback_R is None else feedback_R
             R_fb = np.asarray(R_fb, float)
-            if R_fb.ndim == 0:     # scalar knob => R * I
-                R_fb = float(R_fb) * np.eye(np.asarray(cost.R).shape[0])
+            if R_fb.ndim == 0:     # scalar knob => R * I (sized from the
+                # input dimension, not cost.R — which may itself be scalar)
+                R_fb = float(R_fb) * np.eye(int(np.asarray(B_d).shape[-1]))
             R = jnp.asarray(R_fb, A_d.dtype)
             K, _ = jax.vmap(lambda a, b: dare(a, b, Q, R))(A_d, B_d)
             self.K = np.asarray(K)

@@ -407,29 +407,35 @@ class GuSTO:
         (~25 ms RTT each on the tunneled TPU); this path pays one."""
         t0 = time.time()
         N, nz, nu = self.N, self.n_z, self.n_u
+        n_x = self._jit_tr.n_x
         z_arr = np.zeros((N + 1, nz)) if z is None else np.asarray(z)
         u_des = np.zeros((N, nu)) if u is None else np.asarray(u)
-        res = self._jit_tr.solve(np.asarray(x0, float),
-                                 np.asarray(u_init, float),
-                                 np.asarray(x_init, float),
-                                 z_arr, u_des)
-        x_opt = np.asarray(res.x, float)
-        u_opt = np.asarray(res.u, float)
+        # one packed download (x | u | iters, converged, J): five separate
+        # fetches each paid ~an RTT on the tunneled TPU and dominated the
+        # solve wall time (104 ms mean in the r5 trunk campaign)
+        flat = np.asarray(self._jit_tr.solve_packed(
+            np.asarray(x0, float), np.asarray(u_init, float),
+            np.asarray(x_init, float), z_arr, u_des), float)
+        nX = (N + 1) * n_x
+        x_opt = flat[:nX].reshape(N + 1, n_x)
+        u_opt = flat[nX:nX + N * nu].reshape(N, nu)
+        res_iters = int(flat[-3]) if np.isfinite(flat[-3]) else -1
+        res_converged = bool(flat[-2] > 0.5) if np.isfinite(flat[-2]) else False
         success = bool(np.isfinite(x_opt).all() and np.isfinite(u_opt).all())
         if not success:
             self.reject_log.append({"reason": "nonfinite",
-                                    "iters": int(res.iters)})
+                                    "iters": res_iters})
         z_opt = self._z_of(x_opt) if success else None
         if success and self._plan_bound is not None:
             exc = self._plan_excursion(z_opt, z_arr)
             if not np.isfinite(exc) or exc > self._plan_bound:
                 print(f"device-TR plan rejected (tail excursion {exc:.1f} > "
-                      f"{self._plan_bound:.1f}, iters {int(res.iters)}, "
-                      f"converged {bool(res.converged)})")
+                      f"{self._plan_bound:.1f}, iters {res_iters}, "
+                      f"converged {res_converged})")
                 self.reject_log.append({
                     "reason": "excursion", "excursion": float(exc),
-                    "iters": int(res.iters),
-                    "converged": bool(res.converged)})
+                    "iters": res_iters,
+                    "converged": res_converged})
                 success = False
         if success:
             self.xopt = x_opt
@@ -441,7 +447,7 @@ class GuSTO:
             self.xopt = np.asarray(x_init, float)
             self.uopt = np.asarray(u_init, float)
             self.zopt = self._z_of(self.xopt)
-        self.itr_count = int(res.iters)
+        self.itr_count = res_iters
         self.locp_solve_time = time.time() - t0
         self.x_k = self.xopt
         self.u_k = self.uopt

@@ -126,7 +126,8 @@ class GuSTOJit:
         elif formulation != "sparse":
             raise ValueError(f"unknown formulation {formulation!r}")
 
-        self._solve = jax.jit(self._build())
+        self._solve_fn_inner = self._build()
+        self._solve = jax.jit(self._solve_fn_inner)
 
     # ------------------------------------------------------------------
     def _build(self):
@@ -146,7 +147,11 @@ class GuSTOJit:
         hi = jax.lax.Precision.HIGHEST
 
         def qp(x_k, u_k, x0, z, u_des, delta, omega, warm):
-            Ad, Bd, dd = lin_d(x_k[:-1], u_k)
+            # cast: model adapters may linearize in f64 (e.g. under x64 on
+            # CPU) — without this the while_loop carry upcasts and tracing
+            # fails with a carry-type mismatch
+            Ad, Bd, dd = (a.astype(self.dtype)
+                          for a in lin_d(x_k[:-1], u_k))
             if self.formulation == "condensed":
                 from soft_robot_control_tpu.scp.locp_condensed import CondensedParams
 
@@ -317,6 +322,28 @@ class GuSTOJit:
                            jnp.asarray(x_init, self.dtype),
                            jnp.asarray(z, self.dtype), u_des)
 
+    def solve_packed(self, x0, u_init, x_init, z, u_des=None):
+        """solve() with the result flattened ON DEVICE into one vector
+        [x.ravel | u.ravel | iters, converged, J], so the host pays ONE
+        download instead of five. On the tunneled dev TPU each blocking
+        fetch costs ~an RTT (~25 ms); five fetches dominated the 104 ms
+        device-TR MPC solves in the trunk campaign. Layout is unpacked by
+        GuSTO._solve_device_tr."""
+        if not hasattr(self, "_solve_packed"):
+            def packed(*args):
+                r = self._solve_fn_inner(*args)
+                tail = jnp.stack([r.iters.astype(self.dtype),
+                                  r.converged.astype(self.dtype), r.J])
+                return jnp.concatenate([r.x.reshape(-1), r.u.reshape(-1),
+                                        tail])
+            self._solve_packed = jax.jit(packed)
+        u_des = (jnp.zeros((self.N, self.n_u), self.dtype)
+                 if u_des is None else jnp.asarray(u_des, self.dtype))
+        return self._solve_packed(jnp.asarray(x0, self.dtype),
+                                  jnp.asarray(u_init, self.dtype),
+                                  jnp.asarray(x_init, self.dtype),
+                                  jnp.asarray(z, self.dtype), u_des)
+
     def solve_batch(self, x0, u_init, x_init, z, u_des=None):
         """vmapped GuSTO over a batch of problems (leading axis on all)."""
         if u_des is None:
@@ -349,7 +376,8 @@ class GuSTOJit:
         lin_c = jax.vmap(model.get_continuous_dynamics)
 
         def assemble_one(x_k, u_k, x0, z, u_des, delta, omega):
-            Ad, Bd, dd = lin_d(x_k[:-1], u_k)
+            Ad, Bd, dd = (a.astype(self.dtype)
+                          for a in lin_d(x_k[:-1], u_k))
             params = LOCPParams(
                 Ad=Ad, Bd=Bd, dd=dd, x0=x0, xk=x_k, delta=delta, omega=omega,
                 z=z, zf=jnp.zeros(n_z, self.dtype), u_des=u_des,
@@ -360,7 +388,8 @@ class GuSTOJit:
         def assemble_one_c(x_k, u_k, x0, z, u_des, delta, omega):
             from soft_robot_control_tpu.scp.locp_condensed import CondensedParams
 
-            Ad, Bd, dd = lin_d(x_k[:-1], u_k)
+            Ad, Bd, dd = (a.astype(self.dtype)
+                          for a in lin_d(x_k[:-1], u_k))
             cp = CondensedParams(
                 Ad=Ad, Bd=Bd, dd=dd, x0=x0, z=z, u_des=u_des,
                 Hd=jnp.zeros((N + 1, n_z, n_x), self.dtype),

@@ -109,8 +109,16 @@ def test_diamond_tpwl_gusto_closed_loop_gates():
     """The committed Diamond TPWL GuSTO closed-loop campaign result — the
     reference's flagship recipe (examples/diamond/diamond.py:194-316 run_scp
     + run_gusto_solver figure-8) — stays within its quality/latency gates:
-    tracking RMSE under 10 mm (committed run ~7.3 mm delay-corrected) and
-    mean solve time within the reference's N_replan*dt real-time budget."""
+    tracking RMSE under 10 mm (committed run ~3 mm delay-corrected) and mean
+    solve time within the REFERENCE-WORKSTATION budget: 300 ms is the
+    N_replan=30 hardware replan window the reference's GuSTO service gets
+    on the lab workstation (examples/hardware/diamond.py). The campaign's
+    own flown cadence (N_replan=2 at dt=0.01 -> 20 ms) is tighter than any
+    single tunneled host->TPU round trip in this dev environment (~25 ms
+    RTT); the sim pauses the world during solves, so the trajectory is
+    exact and the JSON records the flown budget for honest comparison
+    (mpc_replan_budget_ms; see examples/realtime_mpc_tpu.py for the
+    RTT-separated on-device latency, which IS under that budget)."""
     import json
 
     res = os.path.join(ART_DIR, "diamond_tpwl_campaign.json")
@@ -121,6 +129,9 @@ def test_diamond_tpwl_gusto_closed_loop_gates():
     assert r["scp_rmse_mm"] < 10.0, r
     if r.get("scp_solve_ms_mean") is not None:
         assert r["scp_solve_ms_mean"] < 300.0, r
+        # the JSON must DECLARE the flown cadence so nobody mistakes the
+        # workstation gate above for a claim about it
+        assert "mpc_replan_budget_ms" in r, r
 
 
 def test_diamond_baselines_gates():

@@ -138,6 +138,79 @@ def test_gusto_jit_condensed_matches_sparse():
     assert cost(np.asarray(rc.u)) <= 1.1 * cost(np.asarray(rs.u)) + 1e-9
 
 
+def test_gusto_jit_condensed_dU_warm_belief():
+    """Regression: the condensed device-TR path once mis-solved IN-LOOP dU
+    QPs — construction solves were fine but warm-started belief-x0 solves
+    'converged' 40-240 mm off target on the trunk campaign (round-4 note,
+    examples/trunk_tet_campaign.py). Root cause was the unequilibrated
+    condensed KKT (scale mix between the G-chain output rows and the input
+    bounds) + the uniform-rho ADMM stalling only on the harder warm-started
+    geometry; fixed by Ruiz equilibration + staged rho rebalancing in
+    gusto_jit.qp. This pins the MPC-loop shape: sequential solves with
+    shifted warm starts and a PERTURBED initial state, in f32 (the campaign
+    dtype), with dU rows active — each must track the target and respect
+    the slew bound, matching a cold fresh solve."""
+    N, dt = 20, 0.1
+    model = DubinsCar()
+    Qz = np.diag([1.0, 1.0, 0.0])
+    R = 0.1 * np.eye(2)
+    U = HyperRectangle(np.array([1.0, 1.0]), np.array([0.0, -1.0]))
+    dU = HyperRectangle(np.array([0.15, 0.25]), np.array([-0.15, -0.25]))
+    z = np.tile(np.array([1.0, 1.0, 0.0]), (N + 1, 1))
+    dev = GuSTOJit(model, N, dt, Qz, R, U=U, dU=dU, formulation="condensed",
+                   max_iters=10, qp_iters=1200, x_step="kinv",
+                   dtype=jnp.float32)
+
+    x0 = np.zeros(3)
+    u_prev = np.zeros((N, 2))
+    x_prev = np.asarray(model.rollout(x0, u_prev, dt))
+    rng = np.random.default_rng(7)
+    for k in range(4):
+        res = dev.solve(x0, u_prev, x_prev, z)
+        u_k = np.asarray(res.u)
+        x_k = np.asarray(res.x)
+        assert np.isfinite(u_k).all() and np.isfinite(x_k).all(), k
+        # slew bound honored (the rows that used to be mis-solved)
+        du = np.abs(np.diff(u_k, axis=0))
+        assert (du[:, 0] <= 0.15 + 5e-3).all(), (k, du[:, 0].max())
+        assert (du[:, 1] <= 0.25 + 5e-3).all(), (k, du[:, 1].max())
+        # the plan heads toward the target, not 'converged' far off it:
+        # tail-of-horizon position error must shrink vs the initial state
+        d0 = np.linalg.norm(z[0, :2] - x_k[0, :2])
+        dT = np.linalg.norm(z[-1, :2] - x_k[-1, :2])
+        assert dT < 0.7 * d0 + 1e-3, (k, d0, dT)
+        # a cold fresh solve from the same belief agrees on the plan tail
+        cold = dev.solve(x_k[0], np.zeros((N, 2)),
+                         np.asarray(model.rollout(x_k[0], np.zeros((N, 2)),
+                                                  dt)), z)
+        dT_cold = np.linalg.norm(z[-1, :2] - np.asarray(cold.x)[-1, :2])
+        assert dT <= dT_cold + 0.12, (k, dT, dT_cold)
+        # MPC shift: belief = plan state 2 steps in, plus model mismatch
+        x0 = x_k[2] + 0.03 * rng.standard_normal(3)
+        u_prev = np.concatenate([u_k[2:], u_k[-1:], u_k[-1:]], axis=0)
+        x_prev = np.asarray(model.rollout(x0, u_prev, dt))
+
+
+def test_device_tr_service_packed_roundtrip():
+    """GuSTO(device_tr=True) parses the packed one-download result
+    correctly: plan arrays, iteration count, and the excursion guard all
+    see the same values the unpacked GuSTOJit result carries."""
+    N, dt = 20, 0.1
+    model, Qz, R, U, z_tgt, x0, u_init, x_init = _dubins_problem(N, dt)
+    g = GuSTO(model, N, dt, Qz, R, x0, u_init, x_init, z=z_tgt, U=U,
+              locp_backend="condensed", device_tr=True,
+              device_tr_max_iters=10, device_tr_qp_iters=600,
+              plan_bound=50.0, dtype=jnp.float64)
+    x_s, u_s, z_s, _ = g.get_solution()
+    assert np.isfinite(x_s).all() and np.isfinite(u_s).all()
+    assert g.itr_count >= 1 and g.plan_rejects == 0
+    # agrees with the raw GuSTOJit result on the same problem
+    raw = g._jit_tr.solve(x0, u_init, x_init, z_tgt)
+    np.testing.assert_allclose(x_s, np.asarray(raw.x), atol=1e-9)
+    np.testing.assert_allclose(u_s, np.asarray(raw.u), atol=1e-9)
+    assert g.itr_count == int(raw.iters)
+
+
 def test_gusto_jit_state_constraints():
     """X polytope keeps the device-GuSTO trajectory inside the box."""
     N, dt = 25, 0.1

@@ -22,10 +22,28 @@ pytestmark = pytest.mark.skipif(
 def test_trunk_campaign_quality_gates():
     with open(os.path.join(ART_DIR, "trunk_tpwl_campaign.json")) as f:
         r = json.load(f)
-    # committed run: GuSTO 14.16 mm, iLQR 10.48 mm on the +-15/7.5 mm
-    # figure-8 — gates at ~1.3x so a regression trips before it doubles
+    # committed run (r5): GuSTO 0.72 mm / 0 plan rejects with moderate-gain
+    # plan feedback, iLQR 2.0 mm, on the +-10/12.5 mm figure-8. Gates stay
+    # at the round-3 levels (14.16/10.48 * ~1.3) so a regression to the old
+    # behavior trips loudly while parameter-level jitter does not.
     assert r["scp_rmse_mm"] < 18.0, r
     assert r["ilqr_rmse_mm"] < 14.0, r
+    # a "working" controller may not fly on stale rejected plans (round-4
+    # failure mode: 246/500 rejects -> open-loop replay -> 60 mm RMSE)
+    if "scp_plan_rejects" in r:
+        assert r["scp_plan_rejects"] <= 50, r
+    # tip excursions bounded by the task envelope (round-4 blow-up:
+    # 258/230/348 mm spans on a 195 mm robot; the figure-8 itself spans
+    # 20/25 mm in x/y, and z is uncontrolled but must stay small)
+    if "scp_tip_span_mm" in r:
+        sx, sy, sz = r["scp_tip_span_mm"]
+        assert sx < 40.0 and sy < 40.0 and sz < 25.0, r
+    # solve latency: gated against the reference's 300 ms workstation
+    # budget (see test_campaign_artifacts.py for the labeling rationale);
+    # the flown 20 ms cadence is declared alongside
+    if r.get("scp_solve_ms_mean") is not None:
+        assert r["scp_solve_ms_mean"] < 300.0, r
+        assert "mpc_replan_budget_ms" in r, r
 
 
 @pytest.mark.parametrize("name", ["scp_fig8_sim.pkl", "ilqr_fig8_sim.pkl"])

@@ -24,12 +24,23 @@ ap.add_argument("--perturb", type=float, default=0.0,
                 help="scale of a random belief perturbation added to each "
                 "query state (units of the model's characteristic dx) — "
                 "emulates EKF/model mismatch in the real closed loop")
+ap.add_argument("--dU", type=float, default=0.0,
+                help="slew-rate box |u_{k+1}-u_k| <= dU (mN): >0 reproduces "
+                "the campaign's documented condensed-dU in-loop mis-solve")
+ap.add_argument("--cpu-f32", action="store_true",
+                help="run on CPU in float32 (the campaign's solver dtype) "
+                "without needing the session TPU")
+ap.add_argument("--stride", type=int, default=2,
+                help="plan steps advanced per query (campaign N_replan=2); "
+                "larger strides sweep the figure-8 in fewer queries")
 args = ap.parse_args()
 
 import jax
 if args.f64:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
+elif args.cpu_f32:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import jax.numpy as jnp
@@ -64,6 +75,8 @@ z_target[:, 1] += 10.0 * np.sin(2 * th)
 Qz = np.diag([100.0, 100.0, 0.0])
 R = 1e-2 * np.eye(8)
 U = HyperRectangle(250.0 * np.ones(8), np.zeros(8))
+dU = (HyperRectangle(args.dU * np.ones(8), -args.dU * np.ones(8))
+      if args.dU > 0 else None)
 
 x0 = np.asarray(model.rom.project_x(model.rom.x_ref))
 z_solver = np.asarray(model.zfyf_to_zy(zf=jnp.asarray(z_target)))
@@ -76,7 +89,8 @@ else:
     kw.update(device_tr=True, max_gusto_iters=5, convg_thresh=1e-2)
 
 t0 = time.time()
-service = GuSTOService(gmodel, N, dt, Qz, R, x0, t=tt, z=z_solver, U=U, **kw)
+service = GuSTOService(gmodel, N, dt, Qz, R, x0, t=tt, z=z_solver, U=U,
+                       dU=dU, **kw)
 g = service.gusto
 print(f"[{time.time()-t0:.1f}s] constructed; construction solve: "
       f"rejects={getattr(g, 'plan_rejects', 0)}", flush=True)
@@ -91,7 +105,8 @@ def excursion(z_opt, z_arr):
 # emulate the MPC loop via the service (target interp + warm-start shift are
 # the service's own code): at each replanning time t_k, x0 = the model state
 # reached by rolling the previous accepted plan (ideal plant == model)
-dt_replan = 2 * dt   # N_replan=2
+stride = max(1, min(args.stride, N - 1))
+dt_replan = stride * dt   # campaign: N_replan=2
 
 rng = np.random.default_rng(0)
 dx_char = np.asarray(model.get_characteristic_dx(dt), float)
@@ -111,6 +126,6 @@ for k in range(args.queries):
           f"per-axis=[{per_axis[0]:6.2f} {per_axis[1]:6.2f} {per_axis[2]:6.2f}] "
           f"iters={g.itr_count:3d} rejected={rejected} solve={el:7.1f} ms",
           flush=True)
-    # ideal plant: next belief = plan state at +2 steps
-    xq = np.asarray(service.xopt[2])
+    # ideal plant: next belief = plan state at +stride steps
+    xq = np.asarray(service.xopt[stride])
 print("total rejects:", g.plan_rejects)
