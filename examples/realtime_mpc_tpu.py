@@ -120,11 +120,11 @@ def main():
             time.sleep(sleep)
 
     lat = 1e3 * np.asarray(lat)
+    net = lat - rtt_ms
     print(f"{args.hz:.0f} Hz loop, {n_steps} MPC steps on {jax.devices()[0]}")
     print(f"host round-trip baseline (trivial op): {rtt_ms:.2f} ms")
     print(f"total latency ms: min {lat.min():.2f} / mean {lat.mean():.2f} / "
           f"p99 {np.percentile(lat, 99):.2f}")
-    net = lat - rtt_ms
     print(f"controller compute (total - RTT): mean {net.mean():.2f} ms / "
           f"p99 {np.percentile(net, 99):.2f} ms")
     print(f"deadline {1e3 * period:.1f} ms, compute-budget misses: "
@@ -132,6 +132,24 @@ def main():
     print("note: for a hard real-time loop, keep the whole control loop "
           "resident on device (BatchMPC.build(n_windows) scans windows "
           "without host round trips — see bench.py section 1).")
+    if args.json:
+        import json
+        res = {
+            "campaign": args.campaign,
+            "hz": float(args.hz),
+            "deadline_ms": 1e3 * period,
+            "rtt_ms_median": rtt_ms,
+            "total_ms_mean": float(lat.mean()),
+            "total_ms_p99": float(np.percentile(lat, 99)),
+            "compute_ms_mean": float(net.mean()),
+            "compute_ms_p99": float(np.percentile(net, 99)),
+            "compute_budget_misses": int(misses),
+            "n_steps": int(n_steps),
+            "device": str(jax.devices()[0]),
+        }
+        with open(args.json, "w") as f:
+            json.dump(res, f, indent=1)
+        print(f"saved {args.json}")
 
 
 if __name__ == "__main__":
