@@ -38,6 +38,15 @@ def main():
     ap.add_argument("--koopman-samples", type=int, default=60)
     ap.add_argument("--skip-koopman", action="store_true")
     ap.add_argument("--skip-rompc", action="store_true")
+    ap.add_argument("--qp-backend", default="pallas",
+                    choices=["xla", "pallas"],
+                    help="fused LTI QP solver: 'pallas' runs the whole "
+                    "fixed-iteration staged ADMM in one VMEM-resident "
+                    "kernel launch (the batched-MPC headline solver, "
+                    "VERDICT r4 #9); 'xla' is the adaptive residual-driven "
+                    "solve_qp_dense oracle. The campaign gate "
+                    "(test_diamond_baselines_gates) judges tracking + "
+                    "solve-time either way")
     args = ap.parse_args()
 
     import jax
@@ -124,7 +133,8 @@ def main():
         sim = recipes.run_rompc(robot, d, tt, z_target, N=20, N_replan=4,
                                 Qz=Qz, R=R, sim_duration=args.sim_duration,
                                 delay=1.0, save_prefix="rompc",
-                                locp_backend=backend)
+                                locp_backend=backend,
+                                qp_backend=args.qp_backend)
         results["rompc"] = score(sim)
         print(f"[{time.time()-t0:6.1f}s] ROMPC figure-8: RMSE "
               f"{results['rompc']['tracking_rmse_mm']:.2f} mm", flush=True)
@@ -145,7 +155,8 @@ def main():
             robot, d, tt, z_target, delay_embed=1, degree=2, N=10,
             rollout_horizon=4, sim_duration=args.sim_duration, delay=1.0,
             nbr_samples=args.koopman_samples, save_prefix="koopman",
-            absolute_targets=True, locp_backend=backend)
+            absolute_targets=True, locp_backend=backend,
+            qp_backend=args.qp_backend)
         results["koopman"] = score(sim)
         print(f"[{time.time()-t0:6.1f}s] Koopman MPC figure-8: RMSE "
               f"{results['koopman']['tracking_rmse_mm']:.2f} mm", flush=True)
@@ -153,6 +164,7 @@ def main():
     results["figure8_amp_mm"] = [15.0, 7.5]
     results["sim_duration_s"] = args.sim_duration
     results["platform"] = np_dtype_name
+    results["qp_backend"] = args.qp_backend
     with open(os.path.join(d, "diamond_baselines.json"), "w") as f:
         json.dump(results, f, indent=1)
     print(f"[{time.time()-t0:6.1f}s] saved diamond_baselines.json", flush=True)

@@ -157,11 +157,25 @@ def main():
 
     from soft_robot_control_tpu.models.ssm_learn import learn_ssm
     z_eq = np.asarray(Hf) @ np.asarray(plant.x_rest())
-    model = learn_ssm([z[5:] for _, z in decays], dt, state_dim=6,
-                      SSM_order=3, ROM_order=3, n_delay=0, z_ref=z_eq,
-                      actuated_trajs=[z for z, _ in acts_data],
-                      input_trajs=[u for _, u in acts_data],
-                      ridge=[1e-8, 1e-6, 1e-4, 1e-2], joint_fit=True)
+    # ridge candidates up to 1e4: the 200 mN decays swing the tip +-130 mm,
+    # so cubic monomials of the ~100-scale reduced coordinates give normal
+    # equations with ~1e-22 rcond — only heavily Jacobi-scaled-regularized
+    # fits are stable on this data (holdout still picks the weight)
+    try:
+        model = learn_ssm([z[5:] for _, z in decays], dt, state_dim=6,
+                          SSM_order=3, ROM_order=3, n_delay=0, z_ref=z_eq,
+                          actuated_trajs=[z for z, _ in acts_data],
+                          input_trajs=[u for _, u in acts_data],
+                          ridge=[1e-8, 1e-6, 1e-4, 1e-2, 1.0, 1e2, 1e4],
+                          joint_fit=True)
+    except RuntimeError as e:
+        art_path = os.path.join(args.out, "trunk_SSM_model.mat")
+        if not os.path.exists(art_path):
+            raise
+        print(f"[{time.time()-t0:6.1f}s] fit FAILED ({e}); continuing MPC "
+              "with the previously accepted artifact", flush=True)
+        model = ssm_mod.from_mat(art_path, None, discrete=False,
+                                 discr_method="be")
     print(f"[{time.time()-t0:6.1f}s] SSM trained: state_dim "
           f"{model.state_dim}", flush=True)
 

@@ -43,6 +43,17 @@ class LinearMPCService:
         self.cost_params = cost_params
         self.verbose = verbose
 
+        # fused-path QP backend: "xla" = adaptive solve_qp_dense (default,
+        # residual-driven, the parity oracle); "pallas" = fixed-iteration
+        # VMEM-resident staged ADMM (ops/pallas_admm.py) — the whole
+        # iteration loop runs in one kernel launch instead of iters x
+        # HBM-bound XLA ops, the same trade the batched MPC headline path
+        # makes (control/batch_mpc.py). Residuals are still measured (in
+        # the unscaled space) after the fixed budget, so the host-side
+        # acceptance test and plan-extension fallback behave identically.
+        self._qp_backend = kwargs.pop("qp_backend", "xla")
+        self._qp_iters = int(kwargs.pop("qp_iters", 150))
+        self._rho_stages = int(kwargs.pop("rho_stages", 4))
         locp_backend = kwargs.pop("locp_backend", "dense")
         if locp_backend == "condensed":
             # states eliminated exactly — the sparse LOCP's big KKT system
@@ -179,12 +190,63 @@ class LinearMPCService:
                 zf = z[-1] if has_Qzf else jnp.zeros((nz,), sdt)
                 return z, zf, u
 
+            qp_backend = self._qp_backend
+            qp_iters, rho_stages = self._qp_iters, self._rho_stages
+            if qp_backend == "pallas":
+                from soft_robot_control_tpu.control.batch_mpc import (
+                    admm_staged_pallas, equilibrate_qp)
+                # Mosaic lowering is TPU-only; CPU (tests) runs the kernel
+                # in interpreter mode — same numerics, no fused launch
+                pallas_interpret = jax.default_backend() != "tpu"
+
+            def _residual_stats(P, q, A, l, ub, w, y):
+                """OSQP-convention residuals + scales at (w, y), unscaled
+                space — mirrors qp/admm.py so the host acceptance test sees
+                the same numbers either backend produces."""
+                hi = jax.lax.Precision.HIGHEST
+                Ax = jnp.matmul(A, w, precision=hi)
+                zz = jnp.clip(Ax, l, ub)
+                pri = jnp.max(jnp.abs(Ax - zz))
+                pri_sc = jnp.maximum(jnp.max(jnp.abs(Ax)),
+                                     jnp.max(jnp.abs(zz)))
+                Px = jnp.matmul(P, w, precision=hi)
+                Aty = jnp.matmul(A.T, y, precision=hi)
+                dua = jnp.max(jnp.abs(Px + q + Aty))
+                dua_sc = jnp.maximum(jnp.maximum(jnp.max(jnp.abs(Px)),
+                                                 jnp.max(jnp.abs(Aty))),
+                                     jnp.max(jnp.abs(q)))
+                return pri, dua, pri_sc, dua_sc
+
             def _step(t0, x0, w0, y0):
                 z, zf, u_des = _window(t0)
                 params = CondensedParams(
                     Ad=Ad_c, Bd=Bd_c, dd=dd_c, x0=x0, z=z, u_des=u_des,
                     Hd=Hd0, cd=cd0, xk=xk0, delta=one, omega=one, zf=zf)
                 P, q, A, l, ub, const, xfree, G = spec.assemble(params)
+                if qp_backend == "pallas":
+                    (Ps, qs, As, ls, us, w0s, y0s,
+                     (d_s, e_s, c_s)) = equilibrate_qp(P, q, A, l, ub,
+                                                       w0, y0, iters=6)
+                    rho0 = jnp.full((As.shape[0],),
+                                    skw.get("rho", 0.1), sdt)
+                    w_b, y_b = admm_staged_pallas(
+                        Ps[None], qs[None], As[None], ls[None], us[None],
+                        w0s[None], y0s[None], rho0, qp_iters, rho_stages,
+                        pallas_interpret)
+                    w_sol = d_s * w_b[0]
+                    y_sol = e_s * y_b[0] / c_s
+                    pri, dua, pri_sc, dua_sc = _residual_stats(
+                        P, q, A, l, ub, w_sol, y_sol)
+                    # fixed-budget kernel has no in-loop convergence check;
+                    # solved=0 defers acceptance to the host's relative-
+                    # residual test (same thresholds as the xla path)
+                    stats = jnp.stack([pri, dua, pri_sc, dua_sc,
+                                       jnp.zeros((), sdt)])
+                    u_opt = w_sol[:N_ * nu].reshape(N_, nu)
+                    x_opt = spec.recover_x(xfree, G, w_sol)
+                    flat = jnp.concatenate([x_opt.reshape(-1),
+                                            u_opt.reshape(-1), stats])
+                    return flat, w_sol, y_sol
                 sol = solve_qp_dense(P, q, A, l, ub, x0=w0, y0=y0, **skw)
                 u_opt = sol.x[:N_ * nu].reshape(N_, nu)
                 x_opt = spec.recover_x(xfree, G, sol.x)

@@ -331,7 +331,7 @@ def run_scp_open_loop(robot, save_dir: str, t_target, z_target, N=100,
 
 def run_rompc(robot, save_dir: str, t_target, z_target, N=20, N_replan=4,
               Qz=None, R=None, sim_duration=6.0, delay=1.0,
-              save_prefix="rompc", locp_backend="dense"):
+              save_prefix="rompc", locp_backend="dense", qp_backend="xla"):
     """ROMPC recipe (examples/diamond/diamond_rompc.py): extract the first
     TPWL point as an LTI ROM, Luenberger observer + linear MPC + DARE
     feedback closed loop.
@@ -354,7 +354,8 @@ def run_rompc(robot, save_dir: str, t_target, z_target, N=20, N_replan=4,
     z_shift = np.asarray(z_target) - np.asarray(lin.z_ref)
     target = Target(t=t_target, z=z_shift)
     svc = LinearMPCService(lin, N, dt, QuadraticCost(Q=Qz, R=R, Qf=10.0 * Qz),
-                           target, locp_backend=locp_backend)
+                           target, locp_backend=locp_backend,
+                           qp_backend=qp_backend)
     H = np.asarray(lin.H)
     nx, ny = lin.state_dim, np.asarray(lin.C).shape[0]
     ctrl = ROMPC(lin, QuadraticCost(Q=H.T @ Qz @ H, R=R),
@@ -368,7 +369,7 @@ def run_koopman(robot, save_dir: str, t_target, z_target_scaled, delay_embed=2,
                 degree=2, N=8, rollout_horizon=4, Qz=None, R=None,
                 sim_duration=8.0, delay=1.0, nbr_samples=120,
                 save_prefix="koopman", absolute_targets=False,
-                locp_backend="dense"):
+                locp_backend="dense", qp_backend="xla"):
     """Native Koopman recipe (run_koopman, examples/diamond/diamond_koopman.py
     with the MATLAB training replaced by in-repo EDMD): collect data, scale,
     train, constrained lifted MPC, closed loop. Output nodes: the robot's
@@ -423,7 +424,7 @@ def run_koopman(robot, save_dir: str, t_target, z_target_scaled, delay_embed=2,
     dU = HyperRectangle(0.08 * np.ones(m_in), -0.08 * np.ones(m_in))
     svc = LinearMPCService(km, N, dt, QuadraticCost(Q=Qz, R=R, Qf=5 * Qz),
                            target, U=U, dU=dU, max_iter=2000,
-                           locp_backend=locp_backend)
+                           locp_backend=locp_backend, qp_backend=qp_backend)
     ctrl = KoopmanMPC(km, delay=delay, wait=True, solver_service=svc,
                       rollout_horizon=rollout_horizon)
     # the Koopman model lives in output coordinates: the controller must be

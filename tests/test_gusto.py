@@ -399,3 +399,52 @@ def test_linear_mpc_fused_matches_adapter():
         np.testing.assert_allclose(uf, uh, rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(xf, xh, rtol=1e-4, atol=1e-5)
         x = xf[1]  # roll the loop forward along the plan
+
+
+def test_linear_mpc_fused_pallas_backend():
+    """qp_backend='pallas' (fixed-iteration staged VMEM ADMM, the batched-
+    MPC headline solver) agrees with the default adaptive xla backend on
+    the fused LTI service — the accuracy gate for wiring the Pallas kernel
+    into the serving path (VERDICT r4 #9). Runs the kernel in interpreter
+    mode on CPU."""
+    from soft_robot_control_tpu.control.linear_mpc import LinearMPCService
+    from soft_robot_control_tpu.core.constraints import HyperRectangle
+    from soft_robot_control_tpu.core.types import QuadraticCost, Target
+
+    rng = np.random.default_rng(9)
+    N, nx, nu, nz = 8, 4, 2, 2
+    H_out = np.zeros((nz, nx))
+    H_out[0, 0] = H_out[1, 1] = 1.0
+
+    class LTI:
+        A_d = 0.9 * np.eye(nx) + 0.02 * rng.normal(size=(nx, nx))
+        B_d = 0.1 * rng.normal(size=(nx, nu))
+        d_d = 0.01 * rng.normal(size=nx)
+        H = H_out
+
+    tt = 0.05 * np.arange(40)
+    zt = np.stack([np.sin(tt), np.cos(tt)], axis=1)
+    cost = QuadraticCost(Q=10.0 * np.eye(nz), R=0.1 * np.eye(nu),
+                         Qf=20.0 * np.eye(nz))
+    target = Target(t=tt, z=zt)
+    U = HyperRectangle(2.0 * np.ones(nu), -2.0 * np.ones(nu))
+
+    svc_p = LinearMPCService(LTI(), N, 0.05, cost, target, U=U,
+                             locp_backend="condensed", qp_backend="pallas",
+                             qp_iters=200, rho_stages=4)
+    assert svc_p._fused
+    svc_x = LinearMPCService(LTI(), N, 0.05, cost, target, U=U,
+                             locp_backend="condensed")
+
+    x = 0.1 * rng.normal(size=nx)
+    for k in range(3):
+        t0 = 0.05 * k
+        svc_p.send_request(t0, x, wait=True)
+        svc_x.send_request(t0, x, wait=True)
+        _, up, xp, _ = svc_p.get_solution()
+        _, ux_, xx_, _ = svc_x.get_solution()
+        # fixed 200-iteration budget vs residual-driven adaptive solve:
+        # plans must agree to control accuracy (inputs bounded by 2.0)
+        np.testing.assert_allclose(up, ux_, rtol=0, atol=2e-3)
+        np.testing.assert_allclose(xp, xx_, rtol=0, atol=2e-3)
+        x = xp[1]

@@ -1,29 +1,69 @@
 #!/bin/bash
-# Watchdog for TPU jobs behind the flaky axon tunnel: the first device op
-# occasionally hangs forever (thread stuck in socket wait at init). Launch
-# the command, require the log to show life (grow beyond the jax warning)
-# within GRACE seconds, else kill and relaunch, up to TRIES attempts.
+# Watchdog for TPU jobs behind the flaky axon tunnel. Two distinct hang
+# modes are covered:
+#   1. init hang — the first device op never returns (thread stuck in a
+#      socket wait): require the log to show life (grow beyond the jax
+#      warning) within GRACE seconds of launch;
+#   2. mid-run hang — a later device op futex-waits forever: after life is
+#      seen, declare a stall when BOTH the log size and the process's
+#      cumulative CPU time stop advancing for STALL seconds (host compute
+#      phases burn CPU even when silent, so CPU growth alone keeps the job
+#      alive; a healthy device phase writes logs or finishes).
+# On either hang the job is killed (by recorded PID, never by pattern) and
+# relaunched, up to TRIES attempts.
 #   tools/run_with_retry.sh LOGFILE GRACE TRIES CMD...
+# STALL defaults to 300 s; override via env STALL=...
 LOG=$1; GRACE=$2; TRIES=$3; shift 3
+STALL=${STALL:-300}
+cpu_ticks() {  # utime+stime of PID $1 plus all its threads' children, in ticks
+    awk '{print $14+$15+$16+$17}' "/proc/$1/stat" 2>/dev/null || echo 0
+}
 for attempt in $(seq 1 "$TRIES"); do
     : > "$LOG"
     "$@" >> "$LOG" 2>&1 &
     PID=$!
     echo "[retry-wrapper] attempt $attempt pid $PID" >&2
-    t=0
+    t=0; alive_seen=0
     while [ "$t" -lt "$GRACE" ]; do
         sleep 10; t=$((t+10))
-        # alive output = any line beyond the xla_bridge warning
         if grep -v "xla_bridge" "$LOG" | grep -q "[^[:space:]]"; then
-            wait "$PID"; exit $?
+            alive_seen=1; break
         fi
         if ! kill -0 "$PID" 2>/dev/null; then
             wait "$PID"; rc=$?
-            # died before producing output — treat as failed attempt
             echo "[retry-wrapper] exited rc=$rc before output" >&2
             break
         fi
     done
+    if [ "$alive_seen" -eq 1 ]; then
+        # stall watchdog: log bytes + CPU ticks must advance within STALL
+        last_sz=$(stat -c %s "$LOG" 2>/dev/null || echo 0)
+        last_cpu=$(cpu_ticks "$PID")
+        stall_t=0
+        while kill -0 "$PID" 2>/dev/null; do
+            sleep 30
+            sz=$(stat -c %s "$LOG" 2>/dev/null || echo 0)
+            cpu=$(cpu_ticks "$PID")
+            # CPU advance threshold: 100 ticks (~1 s) over the window
+            if [ "$sz" -gt "$last_sz" ] || [ $((cpu - last_cpu)) -gt 100 ]; then
+                last_sz=$sz; last_cpu=$cpu; stall_t=0
+            else
+                stall_t=$((stall_t+30))
+                if [ "$stall_t" -ge "$STALL" ]; then
+                    echo "[retry-wrapper] stalled ${STALL}s (no log/CPU" \
+                         "growth) — killing $PID" >&2
+                    kill "$PID" 2>/dev/null; sleep 3
+                    kill -9 "$PID" 2>/dev/null
+                    break
+                fi
+            fi
+        done
+        if ! kill -0 "$PID" 2>/dev/null && [ "$stall_t" -lt "$STALL" ]; then
+            wait "$PID"; exit $?
+        fi
+        wait "$PID" 2>/dev/null
+        continue   # stalled -> next attempt
+    fi
     if kill -0 "$PID" 2>/dev/null; then
         echo "[retry-wrapper] no output after ${GRACE}s — killing $PID" >&2
         kill "$PID" 2>/dev/null; sleep 3; kill -9 "$PID" 2>/dev/null
