@@ -97,6 +97,10 @@ def main():
         lv = np.zeros(8)
         lv[i] = amp
         levels.append(lv)
+    for i in range(4):  # half-amplitude singles: radial richness near the
+        lv = np.zeros(8)  # task envelope (same recipe as the diamond
+        lv[i] = 0.5 * amp  # campaign that reaches held-out rel 0.05)
+        levels.append(lv)
     levels += [np.array([amp, amp, 0, 0, 0, 0, 0, 0.]) / 1.5,
                np.array([0, amp, amp, 0, 0, 0, 0, 0.]) / 1.5,
                np.array([0, 0, amp, amp, 0, 0, 0, 0.]) / 1.5,

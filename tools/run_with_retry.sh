@@ -13,8 +13,12 @@
 # relaunched, up to TRIES attempts.
 #   tools/run_with_retry.sh LOGFILE GRACE TRIES CMD...
 # STALL defaults to 300 s; override via env STALL=...
+# COOLDOWN (default 0) sleeps between attempts — the tunnel backend holds a
+# dead client's claim for many minutes, so an immediate relaunch after a
+# hang-kill tends to hang again; a cooldown lets the claim expire.
 LOG=$1; GRACE=$2; TRIES=$3; shift 3
 STALL=${STALL:-300}
+COOLDOWN=${COOLDOWN:-0}
 cpu_ticks() {  # utime+stime of PID $1 plus all its threads' children, in ticks
     awk '{print $14+$15+$16+$17}' "/proc/$1/stat" 2>/dev/null || echo 0
 }
@@ -62,11 +66,13 @@ for attempt in $(seq 1 "$TRIES"); do
             wait "$PID"; exit $?
         fi
         wait "$PID" 2>/dev/null
+        [ "$COOLDOWN" -gt 0 ] && { echo "[retry-wrapper] cooldown ${COOLDOWN}s" >&2; sleep "$COOLDOWN"; }
         continue   # stalled -> next attempt
     fi
     if kill -0 "$PID" 2>/dev/null; then
         echo "[retry-wrapper] no output after ${GRACE}s — killing $PID" >&2
         kill "$PID" 2>/dev/null; sleep 3; kill -9 "$PID" 2>/dev/null
+        [ "$COOLDOWN" -gt 0 ] && { echo "[retry-wrapper] cooldown ${COOLDOWN}s" >&2; sleep "$COOLDOWN"; }
     fi
 done
 echo "[retry-wrapper] giving up after $TRIES attempts" >&2
