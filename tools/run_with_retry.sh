@@ -22,6 +22,11 @@ COOLDOWN=${COOLDOWN:-0}
 cpu_ticks() {  # utime+stime of PID $1 plus all its threads' children, in ticks
     awk '{print $14+$15+$16+$17}' "/proc/$1/stat" 2>/dev/null || echo 0
 }
+io_chars() {  # rchar+wchar of PID $1 — includes socket traffic; a client
+    # hung on a dead tunnel op does EXACTLY zero io (measured), while
+    # healthy device phases stream bytes continuously
+    awk '/^rchar|^wchar/ {s+=$2} END {print s+0}' "/proc/$1/io" 2>/dev/null || echo 0
+}
 for attempt in $(seq 1 "$TRIES"); do
     : > "$LOG"
     "$@" >> "$LOG" 2>&1 &
@@ -43,14 +48,18 @@ for attempt in $(seq 1 "$TRIES"); do
         # stall watchdog: log bytes + CPU ticks must advance within STALL
         last_sz=$(stat -c %s "$LOG" 2>/dev/null || echo 0)
         last_cpu=$(cpu_ticks "$PID")
+        last_io=$(io_chars "$PID")
         stall_t=0
         while kill -0 "$PID" 2>/dev/null; do
             sleep 30
             sz=$(stat -c %s "$LOG" 2>/dev/null || echo 0)
             cpu=$(cpu_ticks "$PID")
-            # CPU advance threshold: 100 ticks (~1 s) over the window
-            if [ "$sz" -gt "$last_sz" ] || [ $((cpu - last_cpu)) -gt 100 ]; then
-                last_sz=$sz; last_cpu=$cpu; stall_t=0
+            io=$(io_chars "$PID")
+            # alive = log grew, any real io (device traffic), or >10 s CPU
+            # in the window (host compute phase). The tunnel client's idle
+            # heartbeat bursts ~1.4 s CPU with zero io — below both bars.
+            if [ "$sz" -gt "$last_sz" ] || [ $((io - last_io)) -gt 4096 ]                || [ $((cpu - last_cpu)) -gt 1000 ]; then
+                last_sz=$sz; last_cpu=$cpu; last_io=$io; stall_t=0
             else
                 stall_t=$((stall_t+30))
                 if [ "$stall_t" -ge "$STALL" ]; then
