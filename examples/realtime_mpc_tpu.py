@@ -82,7 +82,9 @@ def main():
     step = jax.jit(mpc.build(1))
 
     n_steps = int(args.seconds * args.hz)
-    zt = demo_targets(model, 1, 1, mpc.N + n_replan, dt, batch=1)[0]
+    # one pre-windowed (n_windows=1, N+1, n_z) solver target — build()'s
+    # run consumes windows along axis 0 (batch_mpc.py run docstring)
+    zt = demo_targets(model, 1, n_replan, mpc.N, dt, batch=1)[0]
     x0 = jnp.zeros(model.state_dim, dtype)
     key = jax.random.PRNGKey(0)
     # warm up / compile

@@ -294,6 +294,9 @@ class LinearMPCService:
         if self._fused:
             self._solve_fused(t0, x0)
             return
+        self._solve_host(t0, x0)
+
+    def _solve_host(self, t0, x0):
         z, zf, u = self.get_target(t0)
         xk = np.zeros((self.N + 1, self.locp.spec.n_x))
         self.locp.update(self.A_d, self.B_d, self.d_d, np.asarray(x0, float),
@@ -318,6 +321,7 @@ class LinearMPCService:
         spec = self.locp.spec
         sdt = spec.dtype
         N_, nx, nu = spec.N, spec.n_x, spec.n_u
+        fallback = False
         t_s = _time.time()
         # offset in host float64 BEFORE the solver-dtype cast (see
         # _setup_fused: the device time grid is target.t - t_off)
@@ -354,9 +358,18 @@ class LinearMPCService:
                 self._w = jnp.zeros_like(self._w)
                 self._y = jnp.zeros_like(self._y)
             else:
-                raise RuntimeError("first linear MPC solve failed")
+                # no plan to extend yet — fall back to the host adapter's
+                # adaptive residual-driven solve for this first query (a
+                # fixed-budget pallas pass can miss tight tolerances on
+                # hard cold-start QPs, e.g. Koopman's dU-constrained LOCP)
+                print(f"linear MPC fused FIRST solve not accepted (pri_rel "
+                      f"{pri_rel:.2e}, dua_rel {dua_rel:.2e}); "
+                      "falling back to host adapter for this query")
+                fallback = True
             self.t_solve = _time.time() - t_s
             self.topt = t0 + self.dt * np.arange(self.N + 1)
+        if fallback:
+            self._solve_host(t0, x0)
 
     # client API -----------------------------------------------------------
     def send_request(self, t0, x0, wait=True):

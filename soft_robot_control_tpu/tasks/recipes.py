@@ -424,7 +424,13 @@ def run_koopman(robot, save_dir: str, t_target, z_target_scaled, delay_embed=2,
     dU = HyperRectangle(0.08 * np.ones(m_in), -0.08 * np.ones(m_in))
     svc = LinearMPCService(km, N, dt, QuadraticCost(Q=Qz, R=R, Qf=5 * Qz),
                            target, U=U, dU=dU, max_iter=2000,
-                           locp_backend=locp_backend, qp_backend=qp_backend)
+                           locp_backend=locp_backend, qp_backend=qp_backend,
+                           # the dU-constrained lifted QP needs a bigger
+                           # fixed budget than the ROMPC box QP (the xla
+                           # path gives it max_iter=2000 for the same
+                           # reason); cold-start failures fall back to the
+                           # host adapter automatically
+                           qp_iters=600, rho_stages=6)
     ctrl = KoopmanMPC(km, delay=delay, wait=True, solver_service=svc,
                       rollout_horizon=rollout_horizon)
     # the Koopman model lives in output coordinates: the controller must be

@@ -89,7 +89,27 @@ def main():
                     choices=["scan", "scan_nostack", "fori", "chunked_jit"])
     ap.add_argument("--T", type=int, default=2000)
     ap.add_argument("--sweep", action="store_true")
+    ap.add_argument("--isolate", action="store_true",
+                    help="run each sweep case in its own subprocess — a "
+                    "kernel fault poisons the client session (every later "
+                    "case in the same process reports UNAVAILABLE), so "
+                    "only isolated cases give a truthful matrix")
     args = ap.parse_args()
+
+    if args.sweep and args.isolate:
+        import subprocess
+        for m in ("scan", "scan_nostack", "fori", "chunked_jit"):
+            for T in (500, 2000, 3000):
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--robot", args.robot, "--mode", m, "--T", str(T)],
+                    capture_output=True, text=True, timeout=1800)
+                tail = [ln for ln in (r.stdout + r.stderr).splitlines()
+                        if ln.strip().startswith(m)]
+                print(tail[-1] if tail
+                      else f"  {m:>13} T={T:<5} NO-RESULT rc={r.returncode}",
+                      flush=True)
+        return
 
     import jax
     jax.config.update("jax_compilation_cache_dir",
