@@ -390,6 +390,49 @@ def main():
     except Exception as e:  # keep the primary metrics robust
         ssm_src = f"skipped: {type(e).__name__}: {e}"
 
+    # ---- 6. fused LTI MPC service step (the ROMPC/Koopman serving path,
+    # control/linear_mpc.py): adaptive residual-driven XLA ADMM vs the
+    # one-launch VMEM-resident Pallas staged ADMM (VERDICT r4 #9). Timed as
+    # the device step function the service dispatches (pipelined amortized,
+    # net of the dev tunnel's RTT like metric 1).
+    lti_step_ms = {}
+    try:
+        from soft_robot_control_tpu.control.linear_mpc import (
+            LinearMPCService)
+        from soft_robot_control_tpu.core.types import QuadraticCost, Target
+        from soft_robot_control_tpu.models.linear import (LinearROM,
+                                                          tpwl_to_linear_rom)
+
+        if os.path.exists(DIAMOND_TET_ART):
+            from soft_robot_control_tpu.sim.measurement import linearModel
+
+            lin = LinearROM(tpwl_to_linear_rom(DIAMOND_TET_ART), dt,
+                            Cf=linearModel([1354, 726, 139, 1445, 729],
+                                           1628).C_dense(),
+                            Hf=linearModel([1354], 1628, vel=False).C_dense())
+            nz_l = int(np.asarray(lin.H).shape[0])
+            tt_l = dt * np.arange(1200)
+            zt_l = np.zeros((len(tt_l), nz_l))
+            zt_l[:, 0] = 15.0 * np.sin(2 * np.pi * tt_l / 2.0)
+            zt_l[:, 1] = 7.5 * np.sin(4 * np.pi * tt_l / 2.0)
+            tgt_l = Target(t=tt_l, z=zt_l - np.asarray(lin.z_ref))
+            cost_l = QuadraticCost(Q=100.0 * np.eye(nz_l),
+                                   R=1e-4 * np.eye(m_in),
+                                   Qf=1000.0 * np.eye(nz_l))
+            for bk in ("xla", "pallas"):
+                svc = LinearMPCService(lin, 20, dt, cost_l, tgt_l, U=U,
+                                       locp_backend="condensed",
+                                       qp_backend=bk)
+                sdt_l = svc.locp.spec.dtype
+                t0_d = jnp.asarray(0.37, sdt_l)
+                x0_d = jnp.zeros((lin.state_dim,), sdt_l)
+                t_l = timeit(
+                    lambda: svc._fused_fn(t0_d, x0_d, svc._w, svc._y)[0],
+                    warmup=2, iters=20)
+                lti_step_ms[bk] = 1e3 * t_l
+    except Exception as e:
+        lti_step_ms = {"skipped": f"{type(e).__name__}: {e}"}
+
     result = {
         "metric": "gusto_mpc_step_ms_diamond",
         "value": round(mpc_ms, 4),
@@ -424,6 +467,11 @@ def main():
             "ssm_mpc_windows_per_sec_1024way": (round(ssm_windows_per_sec, 1)
                                                 if ssm_windows_per_sec else None),
             "ssm_model_source": ssm_src,
+            "lti_mpc_step_ms_xla": (round(lti_step_ms["xla"], 4)
+                                    if "xla" in lti_step_ms else None),
+            "lti_mpc_step_ms_pallas": (round(lti_step_ms["pallas"], 4)
+                                       if "pallas" in lti_step_ms else None),
+            "lti_mpc_step_skipped": lti_step_ms.get("skipped"),
             "device": str(jax.devices()[0]),
         },
     }
